@@ -1,0 +1,473 @@
+"""Vectorized Risk rules engine: legality, transition, termination.
+
+This is the TPU-native replacement for the reference's ``State`` mutation
+methods (``src/risk_game/state/state.cpp``) *fused with* the AlphaZero action
+abstraction ``UtilityNN::getValidMoves/makeMove``
+(``src/risk_game/player/alpha_zero/alphazero_moves.cpp``): the framework's
+canonical transition is ``step(state, action, dice)`` over the 43-way action
+space, applied to a whole batch of games in lockstep.
+
+Design notes (vs the reference):
+  * All phase branches are computed for every game and blended with
+    ``jnp.where`` — batch elements sit in different phases, so this is the
+    data-parallel equivalent of the reference's per-phase dispatch.  Each
+    branch is a handful of [B, 42] element-wise ops; the only matmuls are the
+    [B,42]x[42,42] neighbourhood reductions.
+  * Randomness is explicit: ``step`` consumes a ``[B, 5]`` dice tensor
+    (3 attacker + 2 defender dice, values 1..6).  This makes the transition a
+    pure deterministic function, which is what both the golden-trajectory
+    oracle tests and the MCTS chance nodes need.  Under simple_cards
+    (the reference's default build) dice are the *only* in-game randomness.
+  * Tie-breaks that the reference resolves by neighbour-list iteration order
+    are reproduced exactly via ``NEIGHBOR_RANK``.  The fortify-source
+    tie-break (reference: DFS pre-order of the flood fill,
+    game_helper.cpp:51-82) is replaced by lowest-land-index — a documented
+    deviation that only matters when two candidate sources have exactly equal
+    armies.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    Config,
+    NUM_ACTIONS,
+    NUM_LANDS,
+    PH_ATTACK,
+    PH_ATTACK_MOBILIZATION,
+    PH_FORTIFY,
+    PH_REINFORCEMENT,
+    PH_SETUP,
+    PH_SETUP_NEUTRAL,
+    SKIP_ACTION,
+    STATUS_DRAW,
+    STATUS_NOT_ENDED,
+    NEUTRAL_PLAYER,
+)
+from . import topology
+from .state import GameState, tree_select
+
+ADJ = jnp.asarray(topology.ADJACENCY)
+ADJ_F32 = jnp.asarray(topology.ADJ_F32)
+NEIGHBOR_RANK = jnp.asarray(topology.NEIGHBOR_RANK)
+CONTINENT_MASK_F32 = jnp.asarray(topology.CONTINENT_MASK.astype(np.float32))
+CONTINENT_SIZE = jnp.asarray(topology.CONTINENT_SIZE)
+CONTINENT_BONUS = jnp.asarray(topology.CONTINENT_BONUS)
+
+# Card-set reinforcement schedule (reference: state.cpp:1102-1111).
+_GAIN = np.zeros(64, np.int32)
+_GAIN[1:7] = [4, 6, 8, 10, 12, 15]
+for _k in range(7, 64):
+    _GAIN[_k] = 15 + (_k - 6) * 5
+CARD_SET_GAIN = jnp.asarray(_GAIN)
+
+
+def neighbors_any(x: jax.Array) -> jax.Array:
+    """[B,42] bool -> [B,42] bool: lands adjacent to any set land."""
+    return jnp.einsum("bi,ij->bj", x.astype(jnp.float32), ADJ_F32) > 0.5
+
+
+def neighbor_count(x: jax.Array) -> jax.Array:
+    """[B,42] bool -> [B,42] int32: number of set neighbours per land."""
+    return jnp.einsum(
+        "bi,ij->bj", x.astype(jnp.float32), ADJ_F32).astype(jnp.int32)
+
+
+class PlayerMasks(NamedTuple):
+    """Derived per-current-player masks (reference ``PlayerStatus``,
+    state.h:59-84 — there incrementally maintained, here recomputed)."""
+
+    owned: jax.Array              # lands owned by current player
+    enemy: jax.Array              # lands owned by the opponent
+    neutral: jax.Array            # neutral lands
+    owned_with_army: jax.Array    # owned, army >= 2
+    owned_full: jax.Array         # owned, army == max
+    attack_lands: jax.Array       # not owned, adjacent to owned
+    attack_lands_with_army: jax.Array  # not owned, adjacent to owned w/ army
+    enemy_attack_lands: jax.Array      # opponent's attack_lands
+    neutral_attack_lands: jax.Array    # lands adjacent to neutral, not neutral
+
+
+def player_masks(state: GameState, cfg: Config) -> PlayerMasks:
+    p = state.cur_player[:, None]
+    owned = state.owner == p
+    enemy = state.owner == (1 - p)
+    neutral = state.owner == NEUTRAL_PLAYER
+    owned_with_army = owned & (state.army >= 2)
+    owned_full = owned & (state.army >= cfg.land_army_max)
+    attack_lands = ~owned & neighbors_any(owned)
+    attack_lands_with_army = ~owned & neighbors_any(owned_with_army)
+    enemy_attack = ~enemy & neighbors_any(enemy)
+    # getNeutralPlayerAttackLands (state.cpp:1067-1083): every land adjacent
+    # to a neutral land, minus the neutral lands themselves.
+    neutral_attack = neighbors_any(neutral) & ~neutral
+    return PlayerMasks(owned, enemy, neutral, owned_with_army, owned_full,
+                       attack_lands, attack_lands_with_army, enemy_attack,
+                       neutral_attack)
+
+
+def calc_reinforcement(owned: jax.Array) -> jax.Array:
+    """Turn-start reinforcement count (reference
+    ``State::calculateReinforcementValue``, state.cpp:457-491)."""
+    cnt = owned.sum(axis=-1).astype(jnp.int32)
+    per_cont = jnp.einsum("bl,cl->bc", owned.astype(jnp.float32),
+                          CONTINENT_MASK_F32).astype(jnp.int32)
+    bonus = jnp.where(per_cont == CONTINENT_SIZE[None, :],
+                      CONTINENT_BONUS[None, :], 0).sum(axis=-1)
+    return jnp.maximum(cnt // 3 + bonus, 3)
+
+
+def game_status(state: GameState, cfg: Config) -> jax.Array:
+    """[B] int32: -1 running, -2 draw, else winner index
+    (reference ``State::gameStatus``, state.cpp:518-565)."""
+    p0 = (state.owner == 0).sum(axis=-1)
+    p1 = (state.owner == 1).sum(axis=-1)
+    status = jnp.full_like(p0, STATUS_NOT_ENDED)
+    # Lowest priority first; later writes win.
+    if True:  # round-cap termination
+        over = state.round > cfg.max_game_rounds
+        by_count = jnp.where(p0 > p1, 0, jnp.where(p0 < p1, 1, STATUS_DRAW))
+        status = jnp.where(over, by_count, status)
+    if cfg.allow_yield:
+        status = jnp.where(p1 >= 30, 1, status)
+        status = jnp.where(p0 >= 30, 0, status)
+    status = jnp.where(p1 == 0, 0, status)
+    status = jnp.where(p0 == 0, 1, status)
+    return status.astype(jnp.int32)
+
+
+def legal_actions(state: GameState, cfg: Config) -> jax.Array:
+    """[B, 43] bool legality mask (reference ``UtilityNN::getValidMoves``,
+    alphazero_moves.cpp:3-70)."""
+    m = player_masks(state, cfg)
+    b = state.batch_size
+    skip_only = jnp.zeros((b, NUM_ACTIONS), bool).at[:, SKIP_ACTION].set(True)
+
+    def with_skip(lands):
+        return jnp.concatenate(
+            [lands, jnp.ones((b, 1), bool)], axis=-1)
+
+    def no_skip(lands):
+        return jnp.concatenate(
+            [lands, jnp.zeros((b, 1), bool)], axis=-1)
+
+    # SETUP / REINFORCEMENT
+    base = m.owned & ~m.owned_full
+    if cfg.limit_reinforcement_moves:
+        border = base & (m.enemy_attack_lands | m.neutral_attack_lands)
+        lands = jnp.where(border.any(-1, keepdims=True), border, base)
+    else:
+        lands = base
+    reinf_mask = jnp.where(base.any(-1, keepdims=True),
+                           no_skip(lands), skip_only)
+
+    # SETUP_NEUTRAL
+    setup_neutral_mask = no_skip(m.neutral)
+
+    # ATTACK
+    if cfg.limit_attack_moves:
+        attack_mask = jnp.where(
+            m.attack_lands_with_army.any(-1, keepdims=True),
+            no_skip(m.attack_lands_with_army), skip_only)
+    else:
+        attack_mask = with_skip(m.attack_lands_with_army)
+
+    # ATTACK_MOBILIZATION: exactly {mob_from, mob_to}
+    lands_idx = jnp.arange(NUM_LANDS)[None, :]
+    mob_lands = (lands_idx == state.mob_from[:, None]) | (
+        lands_idx == state.mob_to[:, None])
+    mob_mask = no_skip(mob_lands)
+
+    # FORTIFY
+    if cfg.limit_reinforcement_moves:
+        fortify_mask = with_skip(m.owned & m.enemy_attack_lands)
+    else:
+        fortify_mask = with_skip(m.owned)
+
+    ph = state.phase[:, None]
+    mask = jnp.where(
+        (ph == PH_SETUP) | (ph == PH_REINFORCEMENT), reinf_mask,
+        jnp.where(ph == PH_SETUP_NEUTRAL, setup_neutral_mask,
+                  jnp.where(ph == PH_ATTACK, attack_mask,
+                            jnp.where(ph == PH_ATTACK_MOBILIZATION, mob_mask,
+                                      fortify_mask))))
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Transition helpers
+# ---------------------------------------------------------------------------
+
+def _onehot(idx: jax.Array) -> jax.Array:
+    return jax.nn.one_hot(idx, NUM_LANDS, dtype=jnp.int32)
+
+
+def _goto_attack(state: GameState, cfg: Config) -> GameState:
+    """Reference ``State::gotoAttack`` (state.cpp:20-40): clear mobilization
+    and leftover reinforcements; fall through to FORTIFY when the player has
+    no land to attack from."""
+    s = state.replace(
+        reinforcements=jnp.zeros_like(state.reinforcements),
+        mob_from=jnp.full_like(state.mob_from, -1),
+        mob_to=jnp.full_like(state.mob_to, -1))
+    m = player_masks(s, cfg)
+    can_attack = m.attack_lands_with_army.any(-1)
+    phase = jnp.where(can_attack, PH_ATTACK, PH_FORTIFY).astype(jnp.int32)
+    return s.replace(phase=phase)
+
+
+def _next_player_game_turn(state: GameState, cfg: Config) -> GameState:
+    """Reference ``State::nextPlayerGameTurn`` (state.cpp:748-766): draw the
+    earned card, advance the round, hand the turn (and a fresh reinforcement
+    budget) to the opponent."""
+    p = state.cur_player
+    cards = state.cards.at[jnp.arange(state.batch_size), p].add(
+        state.can_draw_card.astype(jnp.int32))
+    nxt = (1 - p).astype(jnp.int32)
+    s = state.replace(
+        cards=cards,
+        can_draw_card=jnp.zeros_like(state.can_draw_card),
+        round=state.round + 1,
+        cur_player=nxt,
+        attacks_during_turn=jnp.zeros_like(state.attacks_during_turn),
+        phase=jnp.full_like(state.phase, PH_REINFORCEMENT),
+    )
+    owned_next = s.owner == nxt[:, None]
+    return s.replace(reinforcements=calc_reinforcement(owned_next))
+
+
+def _play_cards(state: GameState, cfg: Config) -> GameState:
+    """Simple-cards set play (reference ``State::playCards``,
+    state.cpp:1090-1117 with STATE_SIMPLE_CARDS): trade 3 cards for the
+    escalating bonus whenever at least 3 are held."""
+    p = state.cur_player
+    held = state.cards[jnp.arange(state.batch_size), p]
+    play = held >= 3
+    cards = state.cards.at[jnp.arange(state.batch_size), p].add(
+        jnp.where(play, -3, 0))
+    sets = state.card_sets_played + play.astype(jnp.int32)
+    gained = jnp.where(play, CARD_SET_GAIN[jnp.clip(sets, 0, 63)], 0)
+    return state.replace(cards=cards, card_sets_played=sets,
+                         reinforcements=state.reinforcements + gained)
+
+
+def _move_amount(budget: jax.Array, cfg: Config) -> jax.Array:
+    """FAST_ATTACK_MOBILIZATION half-stack sizing
+    (reference alphazero_moves.cpp:108-118,153-164)."""
+    if cfg.fast_attack_mobilization:
+        half = budget // 2
+        return jnp.where(half < cfg.min_unit_move,
+                         jnp.minimum(cfg.min_unit_move, budget), half)
+    return jnp.minimum(cfg.min_unit_move, budget)
+
+
+def battle(army_from: jax.Array, army_to: jax.Array,
+           dice: jax.Array):
+    """One max-dice battle round (reference ``State::attackMove`` core,
+    state.cpp:822-857 + ``getDiceRolls`` state.cpp:645-684).
+
+    Args:
+      army_from: [B] attacker armies on the source land (>= 2).
+      army_to:   [B] defender armies on the target land (>= 1).
+      dice: [B, 5] int32 in [1, 6]; dice[:, :3] attacker, dice[:, 3:] defender.
+
+    Returns:
+      (new_from, new_to, occupying_units) — all [B] int32.  ``new_to == 0``
+      means the land was conquered and ``occupying_units`` attackers move in.
+    """
+    att_n = jnp.where(army_from >= 4, 3, jnp.where(army_from == 3, 2, 1))
+    def_n = jnp.where(army_to >= 2, 2, 1)
+
+    lane = jnp.arange(3)[None, :]
+    att = jnp.where(lane < att_n[:, None], dice[:, :3], 0)
+    att = jnp.sort(att, axis=-1)[:, ::-1]
+    dfn = jnp.where(jnp.arange(2)[None, :] < def_n[:, None], dice[:, 3:], 0)
+    dfn = jnp.sort(dfn, axis=-1)[:, ::-1]
+
+    win1 = att[:, 0] > dfn[:, 0]
+    second = (att_n >= 2) & (def_n == 2)
+    win2 = second & (att[:, 1] > dfn[:, 1])
+    lose2 = second & ~(att[:, 1] > dfn[:, 1])
+
+    d_new = army_to - win1.astype(jnp.int32) - win2.astype(jnp.int32)
+    a_new = army_from - (~win1).astype(jnp.int32) - lose2.astype(jnp.int32)
+    units = att_n - (~win1).astype(jnp.int32) - lose2.astype(jnp.int32)
+    return a_new, d_new, units
+
+
+def best_attack_from(state: GameState, target: jax.Array,
+                     owned_with_army: jax.Array) -> jax.Array:
+    """Source-land selection for an attack action (reference
+    alphazero_moves.cpp:122-144): the owned neighbour of ``target`` with the
+    largest army, first-in-neighbour-list on ties."""
+    adj_row = ADJ[target]                      # [B, 42] bool
+    rank_row = NEIGHBOR_RANK[target]           # [B, 42] int32
+    cand = adj_row & owned_with_army
+    # (army-1)*8 - rank reproduces "first strict maximum in list order":
+    # army dominates, earlier rank wins ties (rank < 8).
+    score = jnp.where(cand, (state.army - 1) * 8 - rank_row, -1)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def reach_matrix(owned: jax.Array) -> jax.Array:
+    """[B,42,42] bool reachability within the owned-land subgraph, via
+    log-depth squaring (replaces the reference's recursive flood fill,
+    game_helper.cpp:51-109)."""
+    eye = jnp.eye(NUM_LANDS, dtype=bool)[None]
+    m = (ADJ[None] & owned[:, None, :] & owned[:, :, None]) | (
+        eye & owned[:, :, None])
+    r = m.astype(jnp.float32)
+    for _ in range(6):  # 2^6 = 64 > 42 hops
+        r = jnp.minimum(jnp.einsum("bij,bjk->bik", r, r) + r, 1.0)
+    return r > 0.5
+
+
+def connected_to(owned: jax.Array, src: jax.Array) -> jax.Array:
+    """[B,42] bool: owned lands in the same component as land ``src``."""
+    reach = reach_matrix(owned)
+    return reach[jnp.arange(owned.shape[0]), src]
+
+
+# ---------------------------------------------------------------------------
+# step
+# ---------------------------------------------------------------------------
+
+def step(state: GameState, action: jax.Array, dice: jax.Array,
+         cfg: Config) -> GameState:
+    """Apply one 43-way action per game (reference ``UtilityNN::makeMove``,
+    alphazero_moves.cpp:72-233).
+
+    ``action`` in [0, 43); 42 is skip/end-phase.  ``dice`` is [B, 5] in
+    [1, 6], consumed only by attack resolutions.  Terminal games are left
+    unchanged.  Behaviour on an illegal action is undefined (callers must
+    mask with ``legal_actions``).
+    """
+    b = state.batch_size
+    rows = jnp.arange(b)
+    li = jnp.clip(action, 0, NUM_LANDS - 1)
+    is_skip = action == SKIP_ACTION
+    masks = player_masks(state, cfg)
+    p = state.cur_player
+
+    # ---- SETUP: place 2 on own land, to SETUP_NEUTRAL
+    # (state.cpp:1009-1030) ----
+    s_setup = state.replace(
+        reinforcements=state.reinforcements - 2,
+        army=state.army.at[rows, li].add(2),
+        phase=jnp.full_like(state.phase, PH_SETUP_NEUTRAL),
+    )
+
+    # ---- SETUP_NEUTRAL: +1 on a neutral land, next setup turn
+    # (state.cpp:1032-1053, nextPlayerSetupTurn state.cpp:725-746) ----
+    sn = state.replace(
+        army=state.army.at[rows, li].add(1),
+        round=state.round + 1,
+        cur_player=(1 - p).astype(jnp.int32),
+    )
+    setup_done = sn.reinforcements == 0
+    owned_next = sn.owner == sn.cur_player[:, None]
+    s_setup_neutral = sn.replace(
+        phase=jnp.where(setup_done, PH_REINFORCEMENT, PH_SETUP
+                        ).astype(jnp.int32),
+        reinforcements=jnp.where(setup_done, calc_reinforcement(owned_next),
+                                 sn.reinforcements),
+    )
+
+    # ---- REINFORCEMENT (alphazero_moves.cpp:104-121) ----
+    sr = _play_cards(state, cfg)
+    amount = _move_amount(sr.reinforcements, cfg)
+    amount = jnp.minimum(amount, cfg.land_army_max - sr.army[rows, li])
+    sr = sr.replace(reinforcements=sr.reinforcements - amount,
+                    army=sr.army.at[rows, li].add(amount))
+    sr = tree_select(sr.reinforcements == 0, _goto_attack(sr, cfg), sr)
+    s_reinf = tree_select(is_skip, _goto_attack(state, cfg), sr)
+
+    # ---- ATTACK (alphazero_moves.cpp:122-145, state.cpp:769-918) ----
+    frm = best_attack_from(state, li, masks.owned_with_army)
+    a0 = state.army[rows, frm]
+    d0 = state.army[rows, li]
+    a1, d1, units = battle(a0, d0, dice)
+    conquest = d1 == 0
+    a2 = jnp.where(conquest, a1 - units, a1)
+    sa = state.replace(
+        attacks_during_turn=state.attacks_during_turn + 1,
+        army=state.army.at[rows, frm].set(a2)
+                       .at[rows, li].set(jnp.where(conquest, units, d1)),
+        owner=state.owner.at[rows, li].set(
+            jnp.where(conquest, p, state.owner[rows, li])),
+        can_draw_card=state.can_draw_card | conquest,
+        phase=jnp.where(conquest & (a2 > 1), PH_ATTACK_MOBILIZATION,
+                        state.phase).astype(jnp.int32),
+        mob_from=jnp.where(conquest & (a2 > 1), frm, state.mob_from),
+        mob_to=jnp.where(conquest & (a2 > 1), li, state.mob_to),
+    )
+    # Auto-advance to FORTIFY when no further attack is possible
+    # (state.cpp:909-912).
+    ma = player_masks(sa, cfg)
+    stuck = (sa.phase == PH_ATTACK) & ~ma.attack_lands_with_army.any(-1)
+    sa = sa.replace(phase=jnp.where(stuck, PH_FORTIFY, sa.phase
+                                    ).astype(jnp.int32))
+    s_attack = tree_select(
+        is_skip, state.replace(phase=jnp.full_like(state.phase, PH_FORTIFY)),
+        sa)
+
+    # ---- ATTACK_MOBILIZATION (alphazero_moves.cpp:146-171,
+    # state.cpp:920-947) ----
+    mf = jnp.clip(state.mob_from, 0, NUM_LANDS - 1)
+    value = state.army[rows, mf] - 1
+    mamount = _move_amount(value, cfg)
+    sm_move = state.replace(
+        army=state.army.at[rows, mf].add(-mamount)
+                       .at[rows, li].add(mamount))
+    sm_move = tree_select(sm_move.army[rows, mf] == 1,
+                          _goto_attack(sm_move, cfg), sm_move)
+    s_mob = tree_select(action == state.mob_from,
+                        _goto_attack(state, cfg), sm_move)
+
+    # ---- FORTIFY (alphazero_moves.cpp:172-231) ----
+    target_full = state.army[rows, li] >= cfg.land_army_max
+    comp = connected_to(masks.owned, li)
+    cand = comp & (jnp.arange(NUM_LANDS)[None, :] != li[:, None]) & (
+        state.army >= 2)
+    has_enemy_neighbor = neighbor_count(~masks.owned) > 0
+    interior = cand & ~has_enemy_neighbor
+    border = cand & has_enemy_neighbor
+    use_interior = interior.any(-1)
+    pick_from_mask = jnp.where(use_interior[:, None], interior, border)
+    score = jnp.where(pick_from_mask, state.army, -1)
+    f_from = jnp.argmax(score, axis=-1)
+    can_move = pick_from_mask.any(-1) & ~target_full & ~is_skip
+    famount = jnp.minimum(state.army[rows, f_from] - 1,
+                          cfg.land_army_max - state.army[rows, li])
+    famount = jnp.where(can_move, famount, 0)
+    sf = state.replace(
+        army=state.army.at[rows, f_from].add(-famount)
+                       .at[rows, li].add(famount))
+    s_fortify = _next_player_game_turn(sf, cfg)
+
+    # ---- blend by phase ----
+    ph = state.phase
+    out = tree_select(ph == PH_SETUP, s_setup, s_fortify)
+    out = tree_select(ph == PH_SETUP_NEUTRAL, s_setup_neutral, out)
+    out = tree_select(ph == PH_REINFORCEMENT, s_reinf, out)
+    out = tree_select(ph == PH_ATTACK, s_attack, out)
+    out = tree_select(ph == PH_ATTACK_MOBILIZATION, s_mob, out)
+
+    # Terminal games are frozen.
+    done = game_status(state, cfg) != STATUS_NOT_ENDED
+    return tree_select(done, state, out)
+
+
+def roll_dice(key: jax.Array, batch_size: int) -> jax.Array:
+    """[B, 5] dice in [1, 6] for one step."""
+    return jax.random.randint(key, (batch_size, 5), 1, 7, dtype=jnp.int32)
+
+
+def step_key(state: GameState, action: jax.Array, key: jax.Array,
+             cfg: Config) -> GameState:
+    return step(state, action, roll_dice(key, state.batch_size), cfg)
