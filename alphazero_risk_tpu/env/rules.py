@@ -200,14 +200,12 @@ def legal_actions(state: GameState, cfg: Config) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Transition helpers
+# Engine primitives (public: shared by the AZ action abstraction and the
+# scripted/random opponents, which drive the engine with different embedded
+# choices — mirroring how reference players call State methods directly)
 # ---------------------------------------------------------------------------
 
-def _onehot(idx: jax.Array) -> jax.Array:
-    return jax.nn.one_hot(idx, NUM_LANDS, dtype=jnp.int32)
-
-
-def _goto_attack(state: GameState, cfg: Config) -> GameState:
+def goto_attack(state: GameState, cfg: Config) -> GameState:
     """Reference ``State::gotoAttack`` (state.cpp:20-40): clear mobilization
     and leftover reinforcements; fall through to FORTIFY when the player has
     no land to attack from."""
@@ -221,7 +219,7 @@ def _goto_attack(state: GameState, cfg: Config) -> GameState:
     return s.replace(phase=phase)
 
 
-def _next_player_game_turn(state: GameState, cfg: Config) -> GameState:
+def end_turn(state: GameState, cfg: Config) -> GameState:
     """Reference ``State::nextPlayerGameTurn`` (state.cpp:748-766): draw the
     earned card, advance the round, hand the turn (and a fresh reinforcement
     budget) to the opponent."""
@@ -241,7 +239,7 @@ def _next_player_game_turn(state: GameState, cfg: Config) -> GameState:
     return s.replace(reinforcements=calc_reinforcement(owned_next))
 
 
-def _play_cards(state: GameState, cfg: Config) -> GameState:
+def play_cards(state: GameState, cfg: Config) -> GameState:
     """Simple-cards set play (reference ``State::playCards``,
     state.cpp:1090-1117 with STATE_SIMPLE_CARDS): trade 3 cards for the
     escalating bonus whenever at least 3 are held."""
@@ -298,6 +296,70 @@ def battle(army_from: jax.Array, army_to: jax.Array,
     a_new = army_from - (~win1).astype(jnp.int32) - lose2.astype(jnp.int32)
     units = att_n - (~win1).astype(jnp.int32) - lose2.astype(jnp.int32)
     return a_new, d_new, units
+
+
+def apply_reinforcement(state: GameState, li: jax.Array, amount: jax.Array,
+                        cfg: Config) -> GameState:
+    """Place ``amount`` armies on ``li`` from the reinforcement budget
+    (reference ``State::reinforcementMove``, state.cpp:976-998): auto-advance
+    to ATTACK when the budget hits zero."""
+    rows = jnp.arange(state.batch_size)
+    s = state.replace(reinforcements=state.reinforcements - amount,
+                      army=state.army.at[rows, li].add(amount))
+    return tree_select(s.reinforcements == 0, goto_attack(s, cfg), s)
+
+
+def apply_attack(state: GameState, frm: jax.Array, li: jax.Array,
+                 dice: jax.Array, cfg: Config) -> GameState:
+    """Resolve one battle from ``frm`` onto ``li`` (reference
+    ``State::attackMove``, state.cpp:769-918): dice, casualties, conquest /
+    mobilization entry, card-draw flag, auto-FORTIFY when no attack is left.
+    """
+    rows = jnp.arange(state.batch_size)
+    p = state.cur_player
+    a0 = state.army[rows, frm]
+    d0 = state.army[rows, li]
+    a1, d1, units = battle(a0, d0, dice)
+    conquest = d1 == 0
+    a2 = jnp.where(conquest, a1 - units, a1)
+    s = state.replace(
+        attacks_during_turn=state.attacks_during_turn + 1,
+        army=state.army.at[rows, frm].set(a2)
+                       .at[rows, li].set(jnp.where(conquest, units, d1)),
+        owner=state.owner.at[rows, li].set(
+            jnp.where(conquest, p, state.owner[rows, li])),
+        can_draw_card=state.can_draw_card | conquest,
+        phase=jnp.where(conquest & (a2 > 1), PH_ATTACK_MOBILIZATION,
+                        state.phase).astype(jnp.int32),
+        mob_from=jnp.where(conquest & (a2 > 1), frm, state.mob_from),
+        mob_to=jnp.where(conquest & (a2 > 1), li, state.mob_to),
+    )
+    m = player_masks(s, cfg)
+    stuck = (s.phase == PH_ATTACK) & ~m.attack_lands_with_army.any(-1)
+    return s.replace(phase=jnp.where(stuck, PH_FORTIFY, s.phase
+                                     ).astype(jnp.int32))
+
+
+def apply_mobilization(state: GameState, amount: jax.Array,
+                       cfg: Config) -> GameState:
+    """Move ``amount`` armies from mob_from to mob_to (reference
+    ``State::attackReinforcementMove``, state.cpp:920-947); back to ATTACK
+    once only one army remains behind."""
+    rows = jnp.arange(state.batch_size)
+    mf = jnp.clip(state.mob_from, 0, NUM_LANDS - 1)
+    mt = jnp.clip(state.mob_to, 0, NUM_LANDS - 1)
+    s = state.replace(army=state.army.at[rows, mf].add(-amount)
+                                     .at[rows, mt].add(amount))
+    return tree_select(s.army[rows, mf] == 1, goto_attack(s, cfg), s)
+
+
+def apply_fortify(state: GameState, frm: jax.Array, li: jax.Array,
+                  amount: jax.Array) -> GameState:
+    """Move ``amount`` armies between owned lands (reference
+    ``State::fortifyMove``, state.cpp:949-974)."""
+    rows = jnp.arange(state.batch_size)
+    return state.replace(army=state.army.at[rows, frm].add(-amount)
+                                        .at[rows, li].add(amount))
 
 
 def best_attack_from(state: GameState, target: jax.Array,
@@ -379,39 +441,15 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     )
 
     # ---- REINFORCEMENT (alphazero_moves.cpp:104-121) ----
-    sr = _play_cards(state, cfg)
+    sr = play_cards(state, cfg)
     amount = _move_amount(sr.reinforcements, cfg)
     amount = jnp.minimum(amount, cfg.land_army_max - sr.army[rows, li])
-    sr = sr.replace(reinforcements=sr.reinforcements - amount,
-                    army=sr.army.at[rows, li].add(amount))
-    sr = tree_select(sr.reinforcements == 0, _goto_attack(sr, cfg), sr)
-    s_reinf = tree_select(is_skip, _goto_attack(state, cfg), sr)
+    sr = apply_reinforcement(sr, li, amount, cfg)
+    s_reinf = tree_select(is_skip, goto_attack(state, cfg), sr)
 
     # ---- ATTACK (alphazero_moves.cpp:122-145, state.cpp:769-918) ----
     frm = best_attack_from(state, li, masks.owned_with_army)
-    a0 = state.army[rows, frm]
-    d0 = state.army[rows, li]
-    a1, d1, units = battle(a0, d0, dice)
-    conquest = d1 == 0
-    a2 = jnp.where(conquest, a1 - units, a1)
-    sa = state.replace(
-        attacks_during_turn=state.attacks_during_turn + 1,
-        army=state.army.at[rows, frm].set(a2)
-                       .at[rows, li].set(jnp.where(conquest, units, d1)),
-        owner=state.owner.at[rows, li].set(
-            jnp.where(conquest, p, state.owner[rows, li])),
-        can_draw_card=state.can_draw_card | conquest,
-        phase=jnp.where(conquest & (a2 > 1), PH_ATTACK_MOBILIZATION,
-                        state.phase).astype(jnp.int32),
-        mob_from=jnp.where(conquest & (a2 > 1), frm, state.mob_from),
-        mob_to=jnp.where(conquest & (a2 > 1), li, state.mob_to),
-    )
-    # Auto-advance to FORTIFY when no further attack is possible
-    # (state.cpp:909-912).
-    ma = player_masks(sa, cfg)
-    stuck = (sa.phase == PH_ATTACK) & ~ma.attack_lands_with_army.any(-1)
-    sa = sa.replace(phase=jnp.where(stuck, PH_FORTIFY, sa.phase
-                                    ).astype(jnp.int32))
+    sa = apply_attack(state, frm, li, dice, cfg)
     s_attack = tree_select(
         is_skip, state.replace(phase=jnp.full_like(state.phase, PH_FORTIFY)),
         sa)
@@ -421,13 +459,9 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     mf = jnp.clip(state.mob_from, 0, NUM_LANDS - 1)
     value = state.army[rows, mf] - 1
     mamount = _move_amount(value, cfg)
-    sm_move = state.replace(
-        army=state.army.at[rows, mf].add(-mamount)
-                       .at[rows, li].add(mamount))
-    sm_move = tree_select(sm_move.army[rows, mf] == 1,
-                          _goto_attack(sm_move, cfg), sm_move)
     s_mob = tree_select(action == state.mob_from,
-                        _goto_attack(state, cfg), sm_move)
+                        goto_attack(state, cfg),
+                        apply_mobilization(state, mamount, cfg))
 
     # ---- FORTIFY (alphazero_moves.cpp:172-231) ----
     target_full = state.army[rows, li] >= cfg.land_army_max
@@ -448,7 +482,7 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     sf = state.replace(
         army=state.army.at[rows, f_from].add(-famount)
                        .at[rows, li].add(famount))
-    s_fortify = _next_player_game_turn(sf, cfg)
+    s_fortify = end_turn(sf, cfg)
 
     # ---- blend by phase ----
     ph = state.phase

@@ -1,0 +1,130 @@
+"""Learner: loss, optimizer, and jitted epoch training.
+
+Replaces the reference's TF-session training path
+(``alphazero_nn.cpp:351-410``): shuffled minibatch Adam epochs over the
+replay buffer, loss = softmax-CE(policy) + MSE(value) + 1e-3 L2
+(``build_graph.py:92-103``).  The whole epoch runs on device as one
+``lax.scan`` over minibatches — no per-batch host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..models.resnet import AZNet, build_network
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(cfg: Config, key: jax.Array
+                       ) -> Tuple[AZNet, optax.GradientTransformation,
+                                  TrainState]:
+    net = build_network(cfg)
+    dummy = jnp.zeros((1, 7, 6, cfg.num_features), jnp.float32)
+    variables = net.init(key, dummy, train=False)
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return net, tx, state
+
+
+def l2_penalty(params) -> jax.Array:
+    """tf.keras.regularizers.l2 semantics: coeff * sum(w**2) over conv/dense
+    kernels (BN scales/biases are not regularized in the reference)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if name == "kernel":
+            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return total
+
+
+def loss_fn(net: AZNet, cfg: Config, params, batch_stats,
+            batch: Dict[str, jax.Array]):
+    (logits, value), mutated = net.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["features"], train=True, mutable=["batch_stats"])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    pi_loss = -(batch["policy"] * logp).sum(-1).mean()
+    v_loss = jnp.mean(jnp.square(value - batch["value"]))
+    l2 = cfg.l2_coeff * l2_penalty(params)
+    total = pi_loss + v_loss + l2
+    aux = {"pi_loss": pi_loss, "v_loss": v_loss, "l2": l2,
+           "batch_stats": mutated["batch_stats"]}
+    return total, aux
+
+
+def make_update_fn(net: AZNet, tx: optax.GradientTransformation,
+                   cfg: Config):
+    def update(state: TrainState, batch: Dict[str, jax.Array]):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(net, cfg, p, state.batch_stats, batch),
+            has_aux=True)
+        (total, aux), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=aux["batch_stats"],
+                                  opt_state=opt_state)
+        metrics = {"loss": total, "pi_loss": aux["pi_loss"],
+                   "v_loss": aux["v_loss"]}
+        return new_state, metrics
+    return update
+
+
+def make_epoch_fn(net: AZNet, tx: optax.GradientTransformation, cfg: Config):
+    """One epoch = shuffle + scan of minibatch updates, fully on device.
+
+    Mirrors reference ``AlphaZeroNN::train`` (alphazero_nn.cpp:351-410):
+    per-epoch reshuffle, ``N // batch_size`` batches (remainder dropped),
+    returns mean policy/value losses for the epoch log.
+    """
+    update = make_update_fn(net, tx, cfg)
+
+    def epoch(state: TrainState, data: Dict[str, jax.Array],
+              key: jax.Array):
+        n = data["features"].shape[0]
+        nb = n // cfg.batch_size
+        perm = jax.random.permutation(key, n)[: nb * cfg.batch_size]
+        perm = perm.reshape(nb, cfg.batch_size)
+
+        def body(st, idx):
+            batch = jax.tree.map(lambda x: x[idx], data)
+            return update(st, batch)
+
+        state, metrics = jax.lax.scan(body, state, perm)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return epoch
+
+
+def make_predict_fn(net: AZNet, cfg: Config):
+    """Batched inference with invalid-move masking + renormalization
+    (reference ``NNOutputData::normalize``, alphazero_nn_data.cpp:3-27)."""
+
+    def predict(params, batch_stats, features: jax.Array,
+                legal_mask: jax.Array):
+        logits, value = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            features, train=False)
+        masked = jnp.where(legal_mask, logits, -jnp.inf)
+        probs = jax.nn.softmax(masked, axis=-1)
+        return probs, value
+
+    return predict
