@@ -98,14 +98,11 @@ class Config:
 
     @property
     def num_nodes(self) -> int:
-        """Node budget for the array MCTS tree.
-
-        Each simulation expands at most one decision node and one chance
-        node; +1 for the root.
-        """
+        """Node budget for the array MCTS tree: each simulation expands at
+        most one node, +1 for the root (+1 slack)."""
         if self.max_nodes:
             return self.max_nodes
-        return 2 * self.mcts_simulations + 2
+        return self.mcts_simulations + 2
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

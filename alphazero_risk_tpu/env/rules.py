@@ -362,6 +362,85 @@ def apply_fortify(state: GameState, frm: jax.Array, li: jax.Array,
                                         .at[rows, li].add(amount))
 
 
+def battle_comparisons(army_from: jax.Array, army_to: jax.Array):
+    """(att_n, def_n, ncomp) for a battle — ncomp is the number of dice
+    comparisons (1 or 2), which determines the outcome space."""
+    att_n = jnp.where(army_from >= 4, 3, jnp.where(army_from == 3, 2, 1))
+    def_n = jnp.where(army_to >= 2, 2, 1)
+    ncomp = jnp.where((att_n >= 2) & (def_n == 2), 2, 1)
+    return att_n, def_n, ncomp
+
+
+def battle_with_outcome(army_from: jax.Array, army_to: jax.Array,
+                        outcome: jax.Array):
+    """Deterministic battle resolution given the outcome index
+    (= number of attacker losses, in [0, ncomp]).
+
+    This is the chance-node form used by MCTS: the outcome distribution is
+    exact (see ``mcts.outcomes.OUTCOME_PROBS``), so search averages over
+    dice analytically instead of sampling trajectories like the reference's
+    transposition-table recursion (alphazero_mcts.cpp:322-377).
+    """
+    att_n, def_n, ncomp = battle_comparisons(army_from, army_to)
+    w1 = (outcome == 0) | ((outcome == 1) & (ncomp == 2))
+    w2 = outcome == 0
+    d_loss = w1.astype(jnp.int32) + (w2 & (ncomp == 2)).astype(jnp.int32)
+    a_loss = (~w1).astype(jnp.int32) + (
+        ~w2 & (ncomp == 2)).astype(jnp.int32)
+    d_new = army_to - d_loss
+    a_new = army_from - a_loss
+    units = att_n - a_loss
+    return a_new, d_new, units
+
+
+def apply_attack_outcome(state: GameState, frm: jax.Array, li: jax.Array,
+                         outcome: jax.Array, cfg: Config) -> GameState:
+    """``apply_attack`` with a forced outcome instead of dice."""
+    rows = jnp.arange(state.batch_size)
+    p = state.cur_player
+    a0 = state.army[rows, frm]
+    d0 = state.army[rows, li]
+    a1, d1, units = battle_with_outcome(a0, d0, outcome)
+    conquest = d1 == 0
+    a2 = jnp.where(conquest, a1 - units, a1)
+    s = state.replace(
+        attacks_during_turn=state.attacks_during_turn + 1,
+        army=state.army.at[rows, frm].set(a2)
+                       .at[rows, li].set(jnp.where(conquest, units, d1)),
+        owner=state.owner.at[rows, li].set(
+            jnp.where(conquest, p, state.owner[rows, li])),
+        can_draw_card=state.can_draw_card | conquest,
+        phase=jnp.where(conquest & (a2 > 1), PH_ATTACK_MOBILIZATION,
+                        state.phase).astype(jnp.int32),
+        mob_from=jnp.where(conquest & (a2 > 1), frm, state.mob_from),
+        mob_to=jnp.where(conquest & (a2 > 1), li, state.mob_to),
+    )
+    m = player_masks(s, cfg)
+    stuck = (s.phase == PH_ATTACK) & ~m.attack_lands_with_army.any(-1)
+    return s.replace(phase=jnp.where(stuck, PH_FORTIFY, s.phase
+                                     ).astype(jnp.int32))
+
+
+def step_with_outcome(state: GameState, action: jax.Array,
+                      outcome: jax.Array, cfg: Config) -> GameState:
+    """``step`` with battle randomness replaced by an explicit outcome index.
+    Non-attack phases ignore ``outcome``.  Used inside MCTS."""
+    b = state.batch_size
+    # Encode outcome as dice that produce it: attacker dice all 6 / all 1
+    # would not cover the split outcome, so substitute the attack branch
+    # directly instead of faking dice.
+    dummy_dice = jnp.ones((b, 5), jnp.int32)
+    out = step(state, action, dummy_dice, cfg)
+    # Recompute only the attack-with-battle branch with the forced outcome.
+    masks = player_masks(state, cfg)
+    li = jnp.clip(action, 0, NUM_LANDS - 1)
+    frm = best_attack_from(state, li, masks.owned_with_army)
+    s_attack = apply_attack_outcome(state, frm, li, outcome, cfg)
+    use_attack = (state.phase == PH_ATTACK) & (action != SKIP_ACTION) & (
+        game_status(state, cfg) == STATUS_NOT_ENDED)
+    return tree_select(use_attack, s_attack, out)
+
+
 def best_attack_from(state: GameState, target: jax.Array,
                      owned_with_army: jax.Array) -> jax.Array:
     """Source-land selection for an attack action (reference

@@ -1,0 +1,310 @@
+"""Batched array MCTS with exact chance nodes.
+
+TPU-native replacement for the reference's transposition-table MCTS
+(``alphazero_mcts.{h,cpp}``).  Design mapping:
+
+  reference                               | here
+  ----------------------------------------|--------------------------------
+  unordered_map<State, StateSimulations>  | preallocated arrays [B, N, ...]
+  2 threads x recursive search + mutexes  | sims sequential, B games vector
+  active_N virtual-loss dup guard         | unnecessary (no thread races)
+  dice sampled per traversal, merged by   | explicit chance outcomes with
+  state-keyed transpositions              | exact probabilities (<=3/edge)
+  promise/future NN batcher               | one [B] leaf eval per sim step
+  PUCT u = Q + noisedP*c*sqrt(1+sN)/(1+n) | identical (alphazero_mcts.cpp:78-86)
+  pi_i ~ N_i^(1/tau)                      | identical (alphazero_mcts.cpp:121-148)
+
+Each simulation: descend by PUCT sampling battle outcomes from
+``OUTCOME_PROBS``, expand one node, evaluate the network on the [B] leaf
+batch, back up with sign flips only across player changes
+(alphazero_mcts.cpp:363-375 — one Risk turn is many same-player decisions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import (
+    Config,
+    NUM_ACTIONS,
+    NUM_LANDS,
+    PH_ATTACK,
+    SKIP_ACTION,
+    STATUS_DRAW,
+    STATUS_NOT_ENDED,
+)
+from ..env import rules
+from ..env.state import GameState, tree_select
+from .outcomes import OUTCOME_PROBS
+
+OUTCOME_PROBS_J = jnp.asarray(OUTCOME_PROBS.astype(np.float32))
+
+# eval_fn(state, legal_mask) -> (probs [B,43] masked+normalized, value [B])
+EvalFn = Callable[[GameState, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+@struct.dataclass
+class Tree:
+    states: GameState      # [B, N, ...]
+    expanded: jax.Array    # [B, N] bool
+    terminal: jax.Array    # [B, N] bool
+    value: jax.Array       # [B, N] f32 — leaf value, node mover's view
+    player: jax.Array      # [B, N] i32
+    legal: jax.Array       # [B, N, 43] bool
+    prior: jax.Array       # [B, N, 43] f32
+    visit: jax.Array       # [B, N, 43] i32
+    wsum: jax.Array        # [B, N, 43] f32
+    children: jax.Array    # [B, N, 43, 3] i32 (-1 = unexpanded)
+    next_free: jax.Array   # [B] i32
+
+
+class SearchResult(NamedTuple):
+    visit_counts: jax.Array  # [B, 43] root visit counts
+    pi: jax.Array            # [B, 43] normalized tau=1 policy
+    root_value: jax.Array    # [B] root network value
+    tree: Tree
+
+
+def _gather_state(states: GameState, n: jax.Array) -> GameState:
+    rows = jnp.arange(n.shape[0])
+    return jax.tree.map(lambda x: x[rows, n], states)
+
+
+def _write_state(states: GameState, n: jax.Array, s: GameState,
+                 mask: jax.Array) -> GameState:
+    rows = jnp.arange(n.shape[0])
+
+    def wr(dst, src):
+        m = mask.reshape(mask.shape + (1,) * (src.ndim - 1))
+        cur = dst[rows, n]
+        return dst.at[rows, n].set(jnp.where(m, src, cur))
+
+    return jax.tree.map(wr, states, s)
+
+
+def _terminal_value(status: jax.Array, player: jax.Array) -> jax.Array:
+    """Reference search terminal return (alphazero_mcts.cpp:324-333):
+    +1 if the state's mover already won, -1 lost, 0 draw."""
+    return jnp.where(status == STATUS_DRAW, 0.0,
+                     jnp.where(status == player, 1.0, -1.0)
+                     ).astype(jnp.float32)
+
+
+def init_tree(root: GameState, cfg: Config, eval_fn: EvalFn) -> Tree:
+    b = root.batch_size
+    n = cfg.num_nodes
+    states = jax.tree.map(
+        lambda x: jnp.zeros((b, n) + x.shape[1:], x.dtype)
+        .at[:, 0].set(x), root)
+    legal0 = rules.legal_actions(root, cfg)
+    probs0, value0 = eval_fn(root, legal0)
+    status0 = rules.game_status(root, cfg)
+    term0 = status0 != STATUS_NOT_ENDED
+    tree = Tree(
+        states=states,
+        expanded=jnp.zeros((b, n), bool).at[:, 0].set(True),
+        terminal=jnp.zeros((b, n), bool).at[:, 0].set(term0),
+        value=jnp.zeros((b, n), jnp.float32).at[:, 0].set(
+            jnp.where(term0, _terminal_value(status0, root.cur_player),
+                      value0)),
+        player=jnp.zeros((b, n), jnp.int32).at[:, 0].set(root.cur_player),
+        legal=jnp.zeros((b, n, NUM_ACTIONS), bool).at[:, 0].set(legal0),
+        prior=jnp.zeros((b, n, NUM_ACTIONS), jnp.float32).at[:, 0].set(
+            probs0),
+        visit=jnp.zeros((b, n, NUM_ACTIONS), jnp.int32),
+        wsum=jnp.zeros((b, n, NUM_ACTIONS), jnp.float32),
+        children=jnp.full((b, n, NUM_ACTIONS, 3), -1, jnp.int32),
+        next_free=jnp.ones((b,), jnp.int32),
+    )
+    return tree
+
+
+def _puct_select(tree: Tree, n: jax.Array, cfg: Config) -> jax.Array:
+    rows = jnp.arange(n.shape[0])
+    legal = tree.legal[rows, n]
+    prior = tree.prior[rows, n]
+    visit = tree.visit[rows, n]
+    wsum = tree.wsum[rows, n]
+    sum_n = visit.sum(-1, keepdims=True).astype(jnp.float32)
+    q = wsum / jnp.maximum(visit, 1)
+    noised = (1.0 - cfg.noise_eps) * prior + cfg.noise_eps * cfg.noise_value
+    u = q + noised * cfg.cpuct * jnp.sqrt(1.0 + sum_n) / (1.0 + visit)
+    u = jnp.where(legal, u, -jnp.inf)
+    return jnp.argmax(u, axis=-1).astype(jnp.int32)
+
+
+def _sample_outcome(tree: Tree, n: jax.Array, action: jax.Array,
+                    key: jax.Array) -> jax.Array:
+    """Chance outcome for attack edges (exact probs); 0 otherwise."""
+    rows = jnp.arange(n.shape[0])
+    st = tree.states
+    phase = st.phase[rows, n]
+    army = st.army[rows, n]        # [B, 42]
+    owner = st.owner[rows, n]
+    player = tree.player[rows, n]
+    li = jnp.clip(action, 0, NUM_LANDS - 1)
+    owned_wa = (owner == player[:, None]) & (army >= 2)
+    sub = _gather_state(st, n)
+    frm = rules.best_attack_from(sub, li, owned_wa)
+    a0 = army[rows, frm]
+    d0 = army[rows, li]
+    att_n, def_n, _ = rules.battle_comparisons(a0, d0)
+    probs = OUTCOME_PROBS_J[att_n - 1, def_n - 1]   # [B, 3]
+    o = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+    is_battle = (phase == PH_ATTACK) & (action != SKIP_ACTION)
+    return jnp.where(is_battle, o, 0).astype(jnp.int32)
+
+
+def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
+                  eval_fn: EvalFn) -> Tree:
+    b = tree.player.shape[0]
+    rows = jnp.arange(b)
+    depth_cap = cfg.max_depth
+
+    path_nodes = jnp.zeros((b, depth_cap), jnp.int32)
+    path_actions = jnp.zeros((b, depth_cap), jnp.int32)
+    path_player = jnp.zeros((b, depth_cap), jnp.int32)
+
+    # ---- descent ----
+    def cond(c):
+        (_, _, _, _, _, done, _, _, _, _) = c
+        return (~done).any()
+
+    def body(c):
+        (cur, pn, pa, pp, depth, done, exp_n, exp_a, exp_o, k) = c
+        k, ksel = jax.random.split(k)
+        a = _puct_select(tree, cur, cfg)
+        o = _sample_outcome(tree, cur, a, ksel)
+        child = tree.children[rows, cur, a, o]
+        # record edge for active games
+        act = ~done
+        pn = pn.at[rows, depth].set(jnp.where(act, cur, pn[rows, depth]))
+        pa = pa.at[rows, depth].set(jnp.where(act, a, pa[rows, depth]))
+        pp = pp.at[rows, depth].set(
+            jnp.where(act, tree.player[rows, cur], pp[rows, depth]))
+        new_depth = jnp.where(act, depth + 1, depth)
+        unexp = act & (child < 0)
+        term = act & (child >= 0) & tree.terminal[rows,
+                                                  jnp.maximum(child, 0)]
+        exp_n = jnp.where(unexp, cur, exp_n)
+        exp_a = jnp.where(unexp, a, exp_a)
+        exp_o = jnp.where(unexp, o, exp_o)
+        new_cur = jnp.where(act & (child >= 0), jnp.maximum(child, 0), cur)
+        new_done = done | unexp | term | (new_depth >= depth_cap)
+        return (new_cur, pn, pa, pp, new_depth, new_done,
+                exp_n, exp_a, exp_o, k)
+
+    root_done = tree.terminal[:, 0]
+    key, kdesc = jax.random.split(key)
+    init = (jnp.zeros((b,), jnp.int32), path_nodes, path_actions,
+            path_player, jnp.zeros((b,), jnp.int32), root_done,
+            jnp.full((b,), -1, jnp.int32), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32), kdesc)
+    (cur, pn, pa, pp, depth, done, exp_n, exp_a, exp_o, _) = (
+        jax.lax.while_loop(cond, body, init))
+
+    expanding = (exp_n >= 0) & ~root_done
+
+    # ---- expansion ----
+    parent = _gather_state(tree.states, jnp.maximum(exp_n, 0))
+    child_state = rules.step_with_outcome(parent, exp_a, exp_o, cfg)
+    status = rules.game_status(child_state, cfg)
+    term = status != STATUS_NOT_ENDED
+    legal_c = rules.legal_actions(child_state, cfg)
+    probs_c, value_c = eval_fn(child_state, legal_c)
+    node_value = jnp.where(term,
+                           _terminal_value(status, child_state.cur_player),
+                           value_c)
+
+    idx = jnp.where(expanding, tree.next_free, 0)
+    idx = jnp.minimum(idx, cfg.num_nodes - 1)
+    tree = tree.replace(
+        states=_write_state(tree.states, idx, child_state, expanding),
+        expanded=tree.expanded.at[rows, idx].set(
+            jnp.where(expanding, True, tree.expanded[rows, idx])),
+        terminal=tree.terminal.at[rows, idx].set(
+            jnp.where(expanding, term, tree.terminal[rows, idx])),
+        value=tree.value.at[rows, idx].set(
+            jnp.where(expanding, node_value, tree.value[rows, idx])),
+        player=tree.player.at[rows, idx].set(
+            jnp.where(expanding, child_state.cur_player,
+                      tree.player[rows, idx])),
+        legal=tree.legal.at[rows, idx].set(
+            jnp.where(expanding[:, None], legal_c,
+                      tree.legal[rows, idx])),
+        prior=tree.prior.at[rows, idx].set(
+            jnp.where(expanding[:, None], probs_c,
+                      tree.prior[rows, idx])),
+        children=tree.children.at[
+            rows, jnp.maximum(exp_n, 0), exp_a, exp_o].set(
+            jnp.where(expanding, idx,
+                      tree.children[rows, jnp.maximum(exp_n, 0),
+                                    exp_a, exp_o])),
+        next_free=tree.next_free + expanding.astype(jnp.int32),
+    )
+
+    # ---- leaf value ----
+    leaf_v = jnp.where(expanding, node_value, tree.value[rows, cur])
+    leaf_p = jnp.where(expanding, child_state.cur_player,
+                       tree.player[rows, cur])
+
+    # ---- backup ----
+    def backup_body(j, carry):
+        tree, v, cp = carry
+        d = depth_cap - 1 - j
+        active = (d < depth) & ~root_done
+        n_d = pn[:, d]
+        a_d = pa[:, d]
+        p_d = pp[:, d]
+        v_new = jnp.where(p_d == cp, v, -v)
+        tree = tree.replace(
+            visit=tree.visit.at[rows, n_d, a_d].add(
+                jnp.where(active, 1, 0)),
+            wsum=tree.wsum.at[rows, n_d, a_d].add(
+                jnp.where(active, v_new, 0.0)),
+        )
+        v = jnp.where(active, v_new, v)
+        cp = jnp.where(active, p_d, cp)
+        return tree, v, cp
+
+    tree, _, _ = jax.lax.fori_loop(0, depth_cap, backup_body,
+                                   (tree, leaf_v, leaf_p))
+    return tree
+
+
+def search(root: GameState, key: jax.Array, cfg: Config,
+           eval_fn: EvalFn) -> SearchResult:
+    """Run ``cfg.mcts_simulations`` sims for every game in the batch."""
+    tree = init_tree(root, cfg, eval_fn)
+
+    def body(i, carry):
+        tree, key = carry
+        key, sub = jax.random.split(key)
+        return simulate_once(tree, sub, cfg, eval_fn), key
+
+    tree, _ = jax.lax.fori_loop(0, cfg.mcts_simulations, body, (tree, key))
+    counts = tree.visit[:, 0, :]
+    pi = counts.astype(jnp.float32)
+    pi = pi / jnp.maximum(pi.sum(-1, keepdims=True), 1e-9)
+    return SearchResult(visit_counts=counts, pi=pi,
+                        root_value=tree.value[:, 0], tree=tree)
+
+
+def pick_move(result: SearchResult, state: GameState, key: jax.Array,
+              cfg: Config, sample: bool) -> jax.Array:
+    """tau=1 visit-count policy; sample below the temperature-threshold
+    round during training, argmax otherwise (alphazero_trainer.cpp:99-106,
+    alphazero_mcts.cpp:379-412)."""
+    if sample:
+        do_sample = state.round <= cfg.temperature_threshold
+        sampled = jax.random.categorical(
+            key, jnp.log(result.pi + 1e-30), axis=-1)
+        greedy = jnp.argmax(result.pi, axis=-1)
+        return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+    return jnp.argmax(result.pi, axis=-1).astype(jnp.int32)

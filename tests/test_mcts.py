@@ -1,0 +1,82 @@
+"""MCTS mechanics + search-quality integration tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_risk_tpu.config import Config
+from alphazero_risk_tpu.agents import mirrored_initial_states
+from alphazero_risk_tpu.env import rules
+from alphazero_risk_tpu.env.state import new_game
+from alphazero_risk_tpu.mcts import search as M
+from alphazero_risk_tpu.mcts.outcomes import OUTCOME_PROBS
+from alphazero_risk_tpu.training import actor as A
+
+
+def heuristic_eval(state, legal):
+    """Uniform prior + army/land-share value — a stand-in for the network
+    (cf. the reference's debug random NN, alphazero_nn_data.cpp:29-49,
+    but deterministic)."""
+    probs = legal / jnp.maximum(legal.sum(-1, keepdims=True), 1)
+    own = state.owner == state.cur_player[:, None]
+    en = state.owner == (1 - state.cur_player)[:, None]
+    ta = (state.army * own).sum(-1)
+    ea = (state.army * en).sum(-1)
+    lo = own.sum(-1)
+    le = en.sum(-1)
+    v = 0.5 * (ta - ea) / jnp.maximum(ta + ea, 1) + 0.5 * (lo - le) / 42.0
+    return probs.astype(jnp.float32), v.astype(jnp.float32)
+
+
+def test_outcome_probs_table():
+    assert OUTCOME_PROBS.shape == (3, 2, 3)
+    assert np.allclose(OUTCOME_PROBS.sum(-1), 1.0)
+    # 1-die battles have no 2-loss outcome
+    assert (OUTCOME_PROBS[0, :, 2] == 0).all()
+    assert (OUTCOME_PROBS[:, 0, 2] == 0).all()
+    # more attacker dice always helps
+    assert OUTCOME_PROBS[2, 1, 0] > OUTCOME_PROBS[1, 1, 0]
+
+
+def test_search_mechanics():
+    cfg = Config(mcts_simulations=12, max_depth=20)
+    root = new_game(jax.random.PRNGKey(0), 4)
+    res = jax.jit(lambda r, k: M.search(r, k, cfg, heuristic_eval))(
+        root, jax.random.PRNGKey(1))
+    counts = np.asarray(res.visit_counts)
+    assert (counts.sum(-1) == cfg.mcts_simulations).all()
+    legal = np.asarray(rules.legal_actions(root, cfg))
+    assert (counts[~legal] == 0).all()
+    assert np.allclose(np.asarray(res.pi.sum(-1)), 1.0)
+    nf = np.asarray(res.tree.next_free)
+    assert (nf <= cfg.num_nodes).all()
+
+
+def test_mcts_beats_random():
+    cfg = Config(mcts_simulations=8, max_depth=16)
+    state0 = mirrored_initial_states(jax.random.PRNGKey(3), 8)
+    run = jax.jit(lambda s, k: A.run_episodes(
+        heuristic_eval, s, k, cfg, 700, opponent=A.OPP_RANDOM,
+        az_seats=(True, False), sample_moves=False))
+    out = run(state0, jax.random.PRNGKey(9))
+    st = np.asarray(out.status)
+    assert (st != -1).all(), "episodes did not finish"
+    assert (st == 0).sum() >= 7, f"MCTS should crush random, got {st}"
+
+
+def test_backfill_values():
+    cfg = Config(mcts_simulations=4, max_depth=8)
+    state0 = new_game(jax.random.PRNGKey(5), 4)
+    out = jax.jit(lambda s, k: A.run_episodes(
+        heuristic_eval, s, k, cfg, 30, sample_moves=True))(
+        state0, jax.random.PRNGKey(6))
+    filled = A.backfill_values(out.samples, out.status)
+    z = np.asarray(filled.value)
+    st = np.asarray(out.status)
+    # unfinished games -> 0 targets; finished -> +-1 matching mover
+    for b in range(4):
+        if st[b] < 0:
+            assert (z[:, b] == 0).all()
+    pis = np.asarray(out.samples.policy)
+    valid = np.asarray(out.samples.valid)
+    assert np.allclose(pis[valid].sum(-1), 1.0)
