@@ -34,6 +34,15 @@ from .common import masked_choice
 
 def random_step(state: GameState, u: jax.Array, dice: jax.Array,
                 cfg: Config) -> GameState:
+    out, _ = random_step_recorded(state, u, dice, cfg)
+    return out
+
+
+def random_step_recorded(state: GameState, u: jax.Array, dice: jax.Array,
+                         cfg: Config):
+    """Like ``random_step`` but also returns the 43-way action the player
+    "chose" — what reference ``addTrainingSample`` records as a one-hot
+    policy target (random_player.cpp:29-82)."""
     rows = jnp.arange(state.batch_size)
     m = rules.player_masks(state, cfg)
     land_idx = jnp.arange(NUM_LANDS)[None, :]
@@ -116,5 +125,21 @@ def random_step(state: GameState, u: jax.Array, dice: jax.Array,
     out = tree_select(ph == PH_ATTACK, s_attack, out)
     out = tree_select(ph == PH_ATTACK_MOBILIZATION, s_mob, out)
 
+    # recorded action per phase (random_player.cpp addTrainingSample calls)
+    skip = jnp.full_like(li_setup, NUM_LANDS)
+    action = jnp.where(ph == PH_SETUP, li_setup,
+              jnp.where(ph == PH_SETUP_NEUTRAL, li_n,
+               jnp.where(ph == PH_REINFORCEMENT, li_r,
+                jnp.where(ph == PH_ATTACK,
+                          jnp.where(atk_skip, skip, tgt),
+                 jnp.where(ph == PH_ATTACK_MOBILIZATION,
+                           jnp.where(u[:, 2] > 0.5,
+                                     jnp.clip(state.mob_to, 0,
+                                              NUM_LANDS - 1),
+                                     jnp.clip(state.mob_from, 0,
+                                              NUM_LANDS - 1)),
+                           jnp.where(f_skip, skip, fto)))))).astype(
+        jnp.int32)
+
     live = rules.game_status(state, cfg) == STATUS_NOT_ENDED
-    return tree_select(live, out, state)
+    return tree_select(live, out, state), (action, live)

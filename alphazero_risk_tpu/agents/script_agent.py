@@ -99,10 +99,19 @@ def _select_from(state: GameState, target: jax.Array,
 
 def script_step(state: GameState, carry: ScriptCarry, reset: jax.Array,
                 u: jax.Array, dice: jax.Array, cfg: Config):
+    out, ncarry, _ = script_step_recorded(state, carry, reset, u, dice, cfg)
+    return out, ncarry
+
+
+def script_step_recorded(state: GameState, carry: ScriptCarry,
+                         reset: jax.Array, u: jax.Array, dice: jax.Array,
+                         cfg: Config):
     """Advance every game one script micro-decision.
 
     ``reset`` marks games whose mover just became this agent (turn start).
-    Returns (new_state, new_carry).
+    Returns (new_state, new_carry, (action43, record_mask)) — the action is
+    what reference ``addTrainingSample`` records as a one-hot policy target
+    (script_player.cpp:105,115,125,151,157,176,198).
     """
     b = state.batch_size
     rows = jnp.arange(b)
@@ -234,8 +243,25 @@ def script_step(state: GameState, carry: ScriptCarry, reset: jax.Array,
     new_carry = tree_select(ph == PH_REINFORCEMENT, carry_r, carry)
     new_carry = tree_select(ph == PH_ATTACK, carry_a, new_carry)
 
+    # recorded action per phase (script_player.cpp addTrainingSample calls)
+    skip = jnp.full((b,), NUM_LANDS, jnp.int32)
+    action = jnp.where(ph == PH_SETUP, f_setup,
+              jnp.where(ph == PH_SETUP_NEUTRAL, li_n,
+               jnp.where(ph == PH_REINFORCEMENT, to_r,
+                jnp.where(ph == PH_ATTACK, a_to,
+                 jnp.where(ph == PH_ATTACK_MOBILIZATION,
+                           jnp.clip(state.mob_to, 0, NUM_LANDS - 1),
+                           jnp.where(do_fortify, f_to, skip)))))).astype(
+        jnp.int32)
     live = rules.game_status(state, cfg) == STATUS_NOT_ENDED
-    return tree_select(live, out, state), tree_select(live, new_carry, carry)
+    # fortify emits a sample only when the player has any armed land
+    # (script_player.cpp:140-159)
+    record = live & jnp.where(ph == PH_FORTIFY,
+                              m.owned_with_army.any(-1), True)
+
+    return (tree_select(live, out, state),
+            tree_select(live, new_carry, carry),
+            (action, record))
 
 
 def _component_labels(owned: jax.Array) -> jax.Array:

@@ -1,0 +1,144 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI (``alphazero_risk.cpp:160-199`` +
+``settings.h:89-211``): mode dispatch over play / train / train-script /
+train-data / analysis / bench, with flags mapped onto ``Config`` fields.
+
+Usage examples:
+  python -m alphazero_risk_tpu.cli -m play --p2 sp --games 1000 --mcts 32
+  python -m alphazero_risk_tpu.cli -m train --tg 1000 --mcts 32
+  python -m alphazero_risk_tpu.cli -m train-data --dgss 5000 --dgsr 5000
+  python -m alphazero_risk_tpu.cli -m analysis
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="alphazero_risk_tpu",
+        description="TPU-native AlphaZero for the game Risk")
+    p.add_argument("-m", "--mode", default="play",
+                   choices=["play", "train", "train-script", "train-data",
+                            "analysis", "bench"])
+    p.add_argument("--p2", default="sp", choices=["sp", "rp", "az"],
+                   help="opponent in play mode (reference --p2)")
+    p.add_argument("--games", "--cg", type=int, default=1000,
+                   help="games for play/compare")
+    p.add_argument("--mcts", type=int, default=None,
+                   help="MCTS simulations per move")
+    p.add_argument("--t", "--temp", dest="temp", type=int, default=None,
+                   help="temperature threshold round")
+    p.add_argument("--ti", type=int, default=None, help="train iterations")
+    p.add_argument("--tg", type=int, default=None,
+                   help="games per train iteration")
+    p.add_argument("--e", dest="epochs", type=int, default=None)
+    p.add_argument("--bs", dest="batch_size", type=int, default=None)
+    p.add_argument("--ct", dest="compare_threshold", type=float,
+                   default=None)
+    p.add_argument("--hp", dest="cpuct", type=float, default=None)
+    p.add_argument("--dnv", dest="noise_value", type=float, default=None)
+    p.add_argument("--dne", dest="noise_eps", type=float, default=None)
+    p.add_argument("--dgss", type=int, default=None)
+    p.add_argument("--dgsr", type=int, default=None)
+    p.add_argument("--dtl", type=int, default=None)
+    p.add_argument("--blocks", type=int, default=None)
+    p.add_argument("--env-batch", type=int, default=None,
+                   help="lockstep games per device")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="micro-step cap per game")
+    p.add_argument("--allow-yield", type=int, default=None)
+    p.add_argument("--limit-reinforcement", type=int, default=None)
+    p.add_argument("--limit-attack", type=int, default=None)
+    p.add_argument("--mirror-games", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (debug)")
+    return p
+
+
+def config_from_args(args) -> Config:
+    cfg = Config()
+    over = {}
+    mapping = {
+        "mcts": "mcts_simulations", "temp": "temperature_threshold",
+        "ti": "train_iterations", "tg": "train_iteration_games",
+        "epochs": "epochs", "batch_size": "batch_size",
+        "compare_threshold": "compare_threshold", "cpuct": "cpuct",
+        "noise_value": "noise_value", "noise_eps": "noise_eps",
+        "dgss": "data_games_ss", "dgsr": "data_games_sr",
+        "dtl": "data_train_loops", "blocks": "blocks",
+        "env_batch": "env_batch_per_device",
+        "max_steps": "max_game_steps",
+    }
+    for arg, field in mapping.items():
+        v = getattr(args, arg, None)
+        if v is not None:
+            over[field] = v
+    for arg, field in (("allow_yield", "allow_yield"),
+                       ("limit_reinforcement", "limit_reinforcement_moves"),
+                       ("limit_attack", "limit_attack_moves"),
+                       ("mirror_games", "mirror_games")):
+        v = getattr(args, arg, None)
+        if v is not None:
+            over[field] = bool(v)
+    over["compare_games"] = args.games
+    return cfg.replace(**over)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.mode == "bench":
+        import bench
+        bench.main()
+        return
+
+    cfg = config_from_args(args)
+    # Dump effective settings like the reference (settings.h:198-210).
+    import dataclasses
+    import os
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    with open(f"{cfg.log_dir}/settings.txt", "w") as f:
+        for field in dataclasses.fields(cfg):
+            f.write(f"{field.name}={getattr(cfg, field.name)}\n")
+
+    from .training import actor as A
+    from .training.trainer import Trainer
+
+    trainer = Trainer(cfg, seed=args.seed)
+
+    if args.mode == "play":
+        trainer.train_state = trainer.ckpt.restore("latest",
+                                                   trainer.train_state)
+        trainer.gen_params = trainer.train_state.params
+        trainer.gen_batch_stats = trainer.train_state.batch_stats
+        opp = {"sp": A.OPP_SCRIPT, "rp": A.OPP_RANDOM}.get(args.p2)
+        if opp is None:
+            raise SystemExit("az-vs-az play: use -m train gating instead")
+        res = trainer.play(opp, args.games)
+        print(json.dumps({"mode": "play", "p2": args.p2, **res}))
+    elif args.mode == "train":
+        trainer.train(iterations=args.ti)
+    elif args.mode == "train-script":
+        trainer.train_on_script(iterations=args.ti)
+    elif args.mode == "train-data":
+        trainer.train_on_data(loops=args.dtl)
+    elif args.mode == "analysis":
+        from .training.analysis import cross_validate
+        report = cross_validate(cfg, f"{cfg.data_dir}/training_samples.npz",
+                                seed=args.seed)
+        print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

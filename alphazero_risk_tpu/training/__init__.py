@@ -1,1 +1,2 @@
 from . import actor, learner
+from . import replay, trainer, checkpoints

@@ -130,10 +130,13 @@ class ActorOutput(NamedTuple):
 
 
 def _opponent_step(kind: int, state, carry, reset, u, dice, cfg):
+    """Returns (state, carry, (action43, record_mask))."""
     if kind == OPP_SCRIPT:
-        return script_agent.script_step(state, carry, reset, u, dice, cfg)
+        return script_agent.script_step_recorded(state, carry, reset, u,
+                                                 dice, cfg)
     if kind == OPP_RANDOM:
-        return random_agent.random_step(state, u, dice, cfg), carry
+        s, info = random_agent.random_step_recorded(state, u, dice, cfg)
+        return s, carry, info
     raise ValueError(kind)
 
 
@@ -141,7 +144,8 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
                  num_steps: int, opponent: int = OPP_AZ,
                  az_seats: Tuple[bool, bool] = (True, True),
                  sample_moves: bool = True,
-                 record_all: bool = True) -> ActorOutput:
+                 record_all: bool = True,
+                 paired_eval: bool = False) -> ActorOutput:
     """Advance B games ``num_steps`` micro-decisions.
 
     ``eval_fn(state, legal) -> (probs, value)`` already closed over params.
@@ -150,6 +154,10 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
     (evaluation), reference alphazero_trainer.cpp:99-106.
     ``record_all`` — record opponent micro-decisions too (one-hot policy),
     like reference ``Player::addTrainingSample`` (player.cpp:9-17).
+    ``paired_eval`` — ``eval_fn(state, legal, use_a)`` with use_a = the
+    *root* mover is seat 0; each seat's MCTS evaluates every leaf with its
+    own network, as in the reference arena where each player group owns its
+    session (alphazero_gpu_cluster.cpp:105-160).
     """
     b = state0.batch_size
 
@@ -162,7 +170,12 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
         az_mask = jnp.where(mover == 0, az_seats[0], az_seats[1])
 
         # --- AZ path: batched MCTS + visit-count policy ---
-        res = mcts.search(state, k_mcts, cfg, eval_fn)
+        if paired_eval:
+            use_a = mover == 0
+            efn = lambda s, m: eval_fn(s, m, use_a)  # noqa: E731
+        else:
+            efn = eval_fn
+        res = mcts.search(state, k_mcts, cfg, efn)
         action = mcts.pick_move(res, state, k_pick, cfg, sample_moves)
         s_az = rules.step_key(state, action, k_dice, cfg)
 
@@ -171,26 +184,73 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
         u, dice = draw_step_randoms(k_opp, b)
         if az_seats[0] and az_seats[1]:
             s_opp, n_carry = state, sc_carry
+            opp_action = jnp.zeros((b,), jnp.int32)
+            opp_rec = jnp.zeros((b,), bool)
         else:
-            s_opp, n_carry = _opponent_step(opponent, state, sc_carry,
-                                            reset, u, dice, cfg)
+            s_opp, n_carry, (opp_action, opp_rec) = _opponent_step(
+                opponent, state, sc_carry, reset, u, dice, cfg)
 
         nstate = tree_select(az_mask, s_az, s_opp)
         nstate = tree_select(live, nstate, state)
         n_carry = tree_select(az_mask | ~live, sc_carry, n_carry)
 
-        # --- record ---
+        # --- record: AZ movers contribute MCTS pi; opponents one-hot
+        # actions (reference Player::addTrainingSample, player.cpp:9-17) ---
+        opp_pi = jax.nn.one_hot(opp_action, 43, dtype=jnp.float32)
+        pi = jnp.where(az_mask[:, None], res.pi, opp_pi)
         if record_all:
-            # opponents contribute one-hot "policies" of the action they
-            # took; recovering the opponent micro-action from the state
-            # diff is ambiguous, so opponent records carry the MCTS pi of
-            # their state only when the mover is AZ.
-            rec_valid = live & az_mask
+            rec_valid = live & (az_mask | opp_rec)
         else:
             rec_valid = live & az_mask
-        rec = _record(state, res.pi, rec_valid)
+        rec = _record(state, pi, rec_valid)
 
         return (nstate, n_carry, mover, key), rec
+
+    init = (state0, script_agent.init_carry(b),
+            jnp.full((b,), -1, jnp.int32), key)
+    (state, _, _, _), samples = jax.lax.scan(body, init, None,
+                                             length=num_steps)
+    return ActorOutput(state=state, samples=samples,
+                       status=rules.game_status(state, cfg))
+
+
+def run_scripted_episodes(state0: GameState, key: jax.Array, cfg: Config,
+                          num_steps: int,
+                          kinds: Tuple[int, int]) -> ActorOutput:
+    """Script/random-only games with every micro-decision recorded as a
+    one-hot policy sample — the reference's ``train-data`` supervised
+    bootstrap data generator (alphazero_trainer.cpp:227-319, where its best
+    models actually came from)."""
+    b = state0.batch_size
+
+    def agent(kind, state, carry, reset, u, dice):
+        if kind == OPP_SCRIPT:
+            return script_agent.script_step_recorded(
+                state, carry, reset, u, dice, cfg)
+        s, info = random_agent.random_step_recorded(state, u, dice, cfg)
+        return s, carry, info
+
+    def body(carry, _):
+        state, sc_carry, prev_player, key = carry
+        key, k = jax.random.split(key)
+        u, dice = draw_step_randoms(k, b)
+        reset = state.cur_player != prev_player
+
+        s0, c0, (a0, r0) = agent(kinds[0], state, sc_carry, reset, u, dice)
+        if kinds[1] == kinds[0]:
+            s1, c1, (a1, r1) = s0, c0, (a0, r0)
+        else:
+            s1, c1, (a1, r1) = agent(kinds[1], state, sc_carry, reset, u,
+                                     dice)
+        mover0 = state.cur_player == 0
+        nstate = tree_select(mover0, s0, s1)
+        ncarry = tree_select(mover0, c0, c1)
+        action = jnp.where(mover0, a0, a1)
+        valid = jnp.where(mover0, r0, r1)
+
+        pi = jax.nn.one_hot(action, 43, dtype=jnp.float32)
+        rec = _record(state, pi, valid)
+        return (nstate, ncarry, state.cur_player, key), rec
 
     init = (state0, script_agent.init_carry(b),
             jnp.full((b,), -1, jnp.int32), key)

@@ -88,25 +88,32 @@ def make_update_fn(net: AZNet, tx: optax.GradientTransformation,
     return update
 
 
-def make_epoch_fn(net: AZNet, tx: optax.GradientTransformation, cfg: Config):
+def make_epoch_fn(net: AZNet, tx: optax.GradientTransformation, cfg: Config,
+                  prepare_batch=None):
     """One epoch = shuffle + scan of minibatch updates, fully on device.
 
     Mirrors reference ``AlphaZeroNN::train`` (alphazero_nn.cpp:351-410):
     per-epoch reshuffle, ``N // batch_size`` batches (remainder dropped),
     returns mean policy/value losses for the epoch log.
+
+    ``prepare_batch(data, idx) -> {features, policy, value}`` lets callers
+    keep the replay compact on device and expand feature planes per
+    minibatch (the reference stores compact NNInputData and expands at
+    tensor-build time too, alphazero_nn.cpp:31-67).
     """
     update = make_update_fn(net, tx, cfg)
+    if prepare_batch is None:
+        def prepare_batch(data, idx):
+            return jax.tree.map(lambda x: x[idx], data)
 
-    def epoch(state: TrainState, data: Dict[str, jax.Array],
-              key: jax.Array):
-        n = data["features"].shape[0]
+    def epoch(state: TrainState, data, key: jax.Array):
+        n = jax.tree.leaves(data)[0].shape[0]
         nb = n // cfg.batch_size
         perm = jax.random.permutation(key, n)[: nb * cfg.batch_size]
         perm = perm.reshape(nb, cfg.batch_size)
 
         def body(st, idx):
-            batch = jax.tree.map(lambda x: x[idx], data)
-            return update(st, batch)
+            return update(st, prepare_batch(data, idx))
 
         state, metrics = jax.lax.scan(body, state, perm)
         return state, jax.tree.map(jnp.mean, metrics)

@@ -1,0 +1,310 @@
+"""AlphaZero training orchestration.
+
+Replaces ``AlphaZeroTrainer`` (alphazero_trainer.{h,cpp}) with a single-host
+actor-learner loop over batched on-device self-play:
+
+  train:        loop { self-play -> trim -> N epochs -> gating arena ->
+                accept (save best/iter, promote) / revert -> benchmark }
+  train-data:   supervised bootstrap from Script-vs-Script +
+                Script-vs-Random games (how the reference's best models
+                were produced)
+
+Deviation from the reference noted: on a rejected gate the reference
+reloads the (possibly stale) 'latest' file (alphazero_trainer.cpp:170-175);
+here revert restores the last *accepted* model, which is the evident
+intent of TRAINING_REVERT_MODEL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, STATUS_NOT_ENDED
+from ..env.state import new_game
+from ..agents.driver import mirrored_initial_states, summarize
+from ..models.resnet import build_network
+from ..utils.logging import Logs
+from . import actor as A
+from .checkpoints import CheckpointManager
+from .learner import TrainState, create_train_state, make_epoch_fn
+from .replay import ReplayBuffer
+
+
+class Trainer:
+    def __init__(self, cfg: Config, seed: int = 0,
+                 log_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(seed)
+        self.net, self.tx, self.train_state = create_train_state(
+            cfg, self._next_key())
+        # generate/actor model = last accepted weights
+        # (reference "az_generate" group, alphazero_risk.cpp:49-62)
+        self.gen_params = self.train_state.params
+        self.gen_batch_stats = self.train_state.batch_stats
+        self.replay = ReplayBuffer(cfg)
+        self.logs = Logs(log_dir or cfg.log_dir)
+        self.ckpt = CheckpointManager(cfg)
+        self.iteration = 0
+
+        self._eval = A.make_eval_fn(self.net, cfg)
+        self._paired = A.make_paired_eval_fn(self.net, cfg)
+        self._epoch = jax.jit(
+            make_epoch_fn(self.net, self.tx, cfg,
+                          prepare_batch=self._prepare_batch))
+        steps = cfg.max_game_steps
+        self._selfplay = jax.jit(
+            lambda p, bs, s0, k: self._run_selfplay(p, bs, s0, k, steps))
+        self._arena = jax.jit(
+            lambda pa, bsa, pb, bsb, s0, k: self._run_arena(
+                pa, bsa, pb, bsb, s0, k, steps))
+        self._versus = jax.jit(
+            lambda p, bs, s0, k, opp: self._run_versus(
+                p, bs, s0, k, opp, steps), static_argnums=4)
+        self._scripted = jax.jit(
+            lambda s0, k, kinds: A.run_scripted_episodes(
+                s0, k, cfg, steps, kinds), static_argnums=2)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _prepare_batch(self, data, idx):
+        sub = jax.tree.map(lambda x: x[idx], data)
+        sb = A.SampleBatch(valid=None, **{k: sub[k] for k in sub})
+        return {
+            "features": A.features_of_samples(sb, self.cfg),
+            "policy": sub["policy"],
+            "value": sub["value"],
+        }
+
+    # ---- jitted episode wrappers ----
+    def _run_selfplay(self, params, bstats, state0, key, num_steps):
+        efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
+        return A.run_episodes(efn, state0, key, self.cfg, num_steps,
+                              sample_moves=True)
+
+    def _run_arena(self, pa, bsa, pb, bsb, state0, key, num_steps):
+        efn = lambda s, m, use_a: self._paired(  # noqa: E731
+            pa, bsa, pb, bsb, use_a, s, m)
+        return A.run_episodes(efn, state0, key, self.cfg, num_steps,
+                              sample_moves=False, paired_eval=True)
+
+    def _run_versus(self, params, bstats, state0, key, opponent, num_steps):
+        efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
+        return A.run_episodes(efn, state0, key, self.cfg, num_steps,
+                              opponent=opponent, az_seats=(True, False),
+                              sample_moves=False)
+
+    # ------------------------------------------------------------------
+    def generate_selfplay(self, games: Optional[int] = None) -> int:
+        """One generation phase (reference generateTrainData,
+        alphazero_trainer.cpp:36-78)."""
+        games = games or self.cfg.train_iteration_games
+        added = 0
+        per_wave = min(games, self.cfg.env_batch_per_device)
+        done_games = 0
+        while done_games < games:
+            b = min(per_wave, games - done_games)
+            b += b % 2
+            state0 = mirrored_initial_states(self._next_key(), b)
+            out = self._selfplay(self.gen_params, self.gen_batch_stats,
+                                 state0, self._next_key())
+            added += self.replay.extend_from_actor(out.samples, out.status)
+            done_games += b
+        self.logs.event("selfplay", games=done_games, samples=added,
+                        buffer=len(self.replay))
+        return added
+
+    def train_epochs(self, epochs: Optional[int] = None) -> Tuple[float,
+                                                                  float]:
+        """N shuffled epochs over the buffer (reference train,
+        alphazero_nn.cpp:351-410)."""
+        epochs = epochs or self.cfg.epochs
+        arrays = self.replay.sample_arrays()
+        data = {k: jnp.asarray(v) for k, v in arrays.items()}
+        pi_loss = v_loss = float("nan")
+        for e in range(epochs):
+            self.train_state, metrics = self._epoch(
+                self.train_state, data, self._next_key())
+            pi_loss = float(metrics["pi_loss"])
+            v_loss = float(metrics["v_loss"])
+            self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
+        return pi_loss, v_loss
+
+    def gate(self) -> bool:
+        """Arena new-vs-old; accept at >= compare_threshold win share
+        (reference updateIfImprovement, alphazero_trainer.cpp:134-198)."""
+        cfg = self.cfg
+        if cfg.compare_games <= 0:
+            self._accept()
+            return True
+        b = min(cfg.compare_games, cfg.env_batch_per_device)
+        b += b % 2
+        state0 = mirrored_initial_states(self._next_key(), b)
+        out = self._arena(self.train_state.params,
+                          self.train_state.batch_stats,
+                          self.gen_params, self.gen_batch_stats,
+                          state0, self._next_key())
+        if cfg.include_compare_games_train_samples:
+            self.replay.extend_from_actor(out.samples, out.status)
+        status = np.asarray(out.status)
+        started = np.asarray(state0.cur_player)
+        new_wins = int((status == 0).sum())
+        old_wins = int((status == 1).sum())
+        draws = int((status == -2).sum())
+        self.logs.log_improvement(
+            self.iteration, draws, new_wins,
+            int(((status == 0) & (started == 0)).sum()), old_wins,
+            int(((status == 1) & (started == 1)).sum()))
+        improved = new_wins >= (new_wins + old_wins) * cfg.compare_threshold
+        if improved:
+            self._accept()
+        elif cfg.training_revert_model:
+            self._revert()
+        return improved
+
+    def _accept(self):
+        self.gen_params = self.train_state.params
+        self.gen_batch_stats = self.train_state.batch_stats
+        self.ckpt.save("best", self.train_state)
+        self.ckpt.save("latest", self.train_state)
+        self.ckpt.save(f"iter-{self.iteration}", self.train_state)
+
+    def _revert(self):
+        self.train_state = self.train_state.replace(
+            params=self.gen_params, batch_stats=self.gen_batch_stats)
+
+    def benchmark(self):
+        """vs Random and vs Script (reference benchmark,
+        alphazero_trainer.cpp:121-132)."""
+        cfg = self.cfg
+        results = []
+        for opp, games in ((A.OPP_RANDOM, cfg.benchmark_games_random),
+                           (A.OPP_SCRIPT, cfg.benchmark_games_script)):
+            b = max(2, min(games, cfg.env_batch_per_device))
+            b += b % 2
+            state0 = mirrored_initial_states(self._next_key(), b)
+            out = self._versus(self.gen_params, self.gen_batch_stats,
+                               state0, self._next_key(), opp)
+            status = np.asarray(out.status)
+            results.append({
+                "games": int(status.shape[0]),
+                "p0_wins": int((status == 0).sum()),
+                "p1_wins": int((status == 1).sum()),
+                "draws": int((status == -2).sum()),
+                "p0_win_started": int(((status == 0) & (
+                    np.asarray(state0.cur_player) == 0)).sum()),
+                "p1_win_started": int(((status == 1) & (
+                    np.asarray(state0.cur_player) == 1)).sum()),
+            })
+        self.logs.log_benchmark(self.iteration, results[0], results[1])
+        return results
+
+    # ------------------------------------------------------------------
+    def train(self, iterations: Optional[int] = None,
+              resume: bool = True, do_benchmark: bool = True):
+        """Full AlphaZero loop (reference train, alphazero_trainer.cpp:12-34).
+        """
+        cfg = self.cfg
+        if resume:
+            self.train_state = self.ckpt.restore("latest", self.train_state)
+            self.gen_params = self.train_state.params
+            self.gen_batch_stats = self.train_state.batch_stats
+            self.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        for self.iteration in range(iterations or cfg.train_iterations):
+            t0 = time.time()
+            self.generate_selfplay()
+            self.replay.trim()
+            self.train_epochs()
+            if self.gate():
+                self.replay.mark_old_games()
+                if do_benchmark:
+                    self.benchmark()
+            self.logs.event("iteration", n=self.iteration,
+                            seconds=time.time() - t0)
+        self.replay.save(f"{cfg.data_dir}/training_samples.npz")
+
+    def train_on_script(self, iterations: Optional[int] = None):
+        """Generate data by playing AZ vs ScriptPlayer instead of self-play
+        (reference trainOnScript, alphazero_trainer.cpp:200-225)."""
+        cfg = self.cfg
+        for self.iteration in range(iterations or cfg.train_iterations):
+            games = cfg.train_iteration_games * 2
+            done = 0
+            while done < games:
+                b = min(cfg.env_batch_per_device, games - done)
+                b += b % 2
+                state0 = mirrored_initial_states(self._next_key(), b)
+                out = self._versus(self.train_state.params,
+                                   self.train_state.batch_stats,
+                                   state0, self._next_key(), A.OPP_SCRIPT)
+                self.replay.extend_from_actor(out.samples, out.status)
+                done += b
+            self.replay.trim()
+            self.train_epochs()
+            if self.gate():
+                self.replay.mark_old_games()
+        self.replay.save(f"{cfg.data_dir}/training_samples.npz")
+
+    def play(self, opponent: int, games: int, use_best: bool = False):
+        """Evaluation matches AZ vs script/random (reference executePlay,
+        alphazero_risk.cpp:4-47).  Returns a results summary."""
+        cfg = self.cfg
+        totals = None
+        done = 0
+        while done < games:
+            b = min(cfg.env_batch_per_device, games - done)
+            b += b % 2
+            state0 = mirrored_initial_states(self._next_key(), b)
+            out = self._versus(self.gen_params, self.gen_batch_stats,
+                               state0, self._next_key(), opponent)
+            status = np.asarray(out.status)
+            started = np.asarray(state0.cur_player)
+            part = {
+                "games": int(status.shape[0]),
+                "p0_wins": int((status == 0).sum()),
+                "p1_wins": int((status == 1).sum()),
+                "draws": int((status == -2).sum()),
+                "unfinished": int((status == -1).sum()),
+                "p0_win_started": int(((status == 0) & (started == 0)
+                                       ).sum()),
+                "p1_win_started": int(((status == 1) & (started == 1)
+                                       ).sum()),
+            }
+            totals = part if totals is None else {
+                k: totals[k] + part[k] for k in part}
+            done += b
+        return totals
+
+    def train_on_data(self, loops: Optional[int] = None,
+                      do_benchmark: bool = True):
+        """Supervised bootstrap from heuristic games (reference
+        trainOnGeneratedData, alphazero_trainer.cpp:227-319)."""
+        cfg = self.cfg
+        for self.iteration in range(loops or cfg.data_train_loops):
+            fresh = ReplayBuffer(cfg)
+            for kinds, games in (((A.OPP_SCRIPT, A.OPP_SCRIPT),
+                                  cfg.data_games_ss),
+                                 ((A.OPP_SCRIPT, A.OPP_RANDOM),
+                                  cfg.data_games_sr)):
+                done = 0
+                while done < games:
+                    b = min(cfg.env_batch_per_device, games - done)
+                    b += b % 2
+                    state0 = mirrored_initial_states(self._next_key(), b)
+                    out = self._scripted(state0, self._next_key(), kinds)
+                    fresh.extend_from_actor(out.samples, out.status)
+                    done += b
+            self.replay = fresh
+            self.train_epochs(epochs=3)
+            if self.gate() and do_benchmark:
+                self.benchmark()
+            self.ckpt.save("temp", self.train_state)

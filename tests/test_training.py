@@ -1,0 +1,105 @@
+"""Trainer / replay / learner tests (tiny configs)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_risk_tpu.config import Config
+from alphazero_risk_tpu.training import actor as A
+from alphazero_risk_tpu.training.replay import ReplayBuffer
+from alphazero_risk_tpu.training.trainer import Trainer
+from alphazero_risk_tpu.agents import mirrored_initial_states
+
+TINY = Config(blocks=1, filters=16, value_hidden=16, mcts_simulations=4,
+              max_depth=8, batch_size=32, env_batch_per_device=8,
+              train_iteration_games=8, compare_games=8, epochs=1,
+              benchmark_games_random=4, benchmark_games_script=4,
+              max_game_steps=150, samples_storage_min_batches=2,
+              samples_storage_max_batches=4)
+
+
+def fake_samples(n, cfg):
+    rng = np.random.default_rng(0)
+    pol = rng.random((n, 43)).astype(np.float32)
+    pol /= pol.sum(-1, keepdims=True)
+    return {
+        "owner": rng.integers(0, 3, (n, 42)).astype(np.int8),
+        "army": rng.integers(1, 33, (n, 42)).astype(np.int8),
+        "cur_player": rng.integers(0, 2, n).astype(np.int8),
+        "phase": rng.integers(0, 6, n).astype(np.int8),
+        "round": rng.integers(1, 59, n).astype(np.int16),
+        "reinforcements": rng.integers(0, 20, n).astype(np.int16),
+        "attacks_during_turn": rng.integers(0, 8, n).astype(np.int16),
+        "can_draw_card": rng.integers(0, 2, n).astype(bool),
+        "policy": pol,
+        "value": rng.choice([-1.0, 0.0, 1.0], n).astype(np.float32),
+    }
+
+
+def test_replay_trim_semantics():
+    cfg = TINY  # min = 64, max = 128
+    buf = ReplayBuffer(cfg)
+    buf.extend(fake_samples(100, cfg))
+    assert buf.trim() == 0          # below max, no old marker
+    buf.mark_old_games()            # old_game_index = 99
+    buf.extend(fake_samples(60, cfg))
+    # 160 > max(128): drop oldest 32 regardless of marker
+    assert buf.trim() == 32
+    assert len(buf) == 128
+    # now above min(64) with marker: drop min(old_index, excess)
+    assert buf.old_game_index == 67
+    dropped = buf.trim()
+    assert dropped == 64
+    assert len(buf) == 64
+
+
+def test_replay_save_load(tmp_path):
+    buf = ReplayBuffer(TINY)
+    buf.extend(fake_samples(10, TINY))
+    p = str(tmp_path / "s.npz")
+    buf.save(p)
+    buf2 = ReplayBuffer(TINY)
+    assert buf2.load(p)
+    assert len(buf2) == 10
+    assert np.allclose(buf2.data["policy"], buf.data["policy"])
+
+
+def test_scripted_data_generation():
+    cfg = TINY
+    state0 = mirrored_initial_states(jax.random.PRNGKey(0), 4)
+    out = jax.jit(lambda s, k: A.run_scripted_episodes(
+        s, k, cfg, 200, (A.OPP_SCRIPT, A.OPP_RANDOM)))(
+        state0, jax.random.PRNGKey(1))
+    valid = np.asarray(out.samples.valid)
+    assert valid.sum() > 100
+    pi = np.asarray(out.samples.policy)
+    # scripted records are one-hot
+    assert np.allclose(pi[valid].max(-1), 1.0)
+    buf = ReplayBuffer(cfg)
+    n = buf.extend_from_actor(out.samples, out.status)
+    assert n == valid.sum()
+
+
+def test_trainer_iteration(tmp_path):
+    os.chdir(tmp_path)
+    t = Trainer(TINY, seed=0)
+    t.generate_selfplay()
+    assert len(t.replay) > 50
+    pi_l, v_l = t.train_epochs()
+    assert np.isfinite(pi_l) and np.isfinite(v_l)
+    improved = t.gate()
+    assert isinstance(improved, bool)
+    if improved:
+        assert t.ckpt.exists("best")
+
+
+def test_learner_loss_decreases(tmp_path):
+    os.chdir(tmp_path)
+    t = Trainer(TINY, seed=1)
+    t.replay.extend(fake_samples(256, TINY))
+    losses = [t.train_epochs(epochs=1)[0] for _ in range(4)]
+    assert losses[-1] < losses[0], losses
