@@ -441,8 +441,8 @@ def step_with_outcome(state: GameState, action: jax.Array,
     return tree_select(use_attack, s_attack, out)
 
 
-def best_attack_from(state: GameState, target: jax.Array,
-                     owned_with_army: jax.Array) -> jax.Array:
+def best_attack_from_army(army: jax.Array, target: jax.Array,
+                          owned_with_army: jax.Array) -> jax.Array:
     """Source-land selection for an attack action (reference
     alphazero_moves.cpp:122-144): the owned neighbour of ``target`` with the
     largest army, first-in-neighbour-list on ties."""
@@ -451,8 +451,13 @@ def best_attack_from(state: GameState, target: jax.Array,
     cand = adj_row & owned_with_army
     # (army-1)*8 - rank reproduces "first strict maximum in list order":
     # army dominates, earlier rank wins ties (rank < 8).
-    score = jnp.where(cand, (state.army - 1) * 8 - rank_row, -1)
+    score = jnp.where(cand, (army - 1) * 8 - rank_row, -1)
     return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def best_attack_from(state: GameState, target: jax.Array,
+                     owned_with_army: jax.Array) -> jax.Array:
+    return best_attack_from_army(state.army, target, owned_with_army)
 
 
 def reach_matrix(owned: jax.Array) -> jax.Array:

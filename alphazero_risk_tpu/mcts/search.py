@@ -150,8 +150,7 @@ def _sample_outcome(tree: Tree, n: jax.Array, action: jax.Array,
     player = tree.player[rows, n]
     li = jnp.clip(action, 0, NUM_LANDS - 1)
     owned_wa = (owner == player[:, None]) & (army >= 2)
-    sub = _gather_state(st, n)
-    frm = rules.best_attack_from(sub, li, owned_wa)
+    frm = rules.best_attack_from_army(army, li, owned_wa)
     a0 = army[rows, frm]
     d0 = army[rows, li]
     att_n, def_n, _ = rules.battle_comparisons(a0, d0)
@@ -254,27 +253,28 @@ def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
     leaf_p = jnp.where(expanding, child_state.cur_player,
                        tree.player[rows, cur])
 
-    # ---- backup ----
-    def backup_body(j, carry):
-        tree, v, cp = carry
-        d = depth_cap - 1 - j
-        active = (d < depth) & ~root_done
-        n_d = pn[:, d]
-        a_d = pa[:, d]
-        p_d = pp[:, d]
-        v_new = jnp.where(p_d == cp, v, -v)
-        tree = tree.replace(
-            visit=tree.visit.at[rows, n_d, a_d].add(
-                jnp.where(active, 1, 0)),
-            wsum=tree.wsum.at[rows, n_d, a_d].add(
-                jnp.where(active, v_new, 0.0)),
-        )
-        v = jnp.where(active, v_new, v)
-        cp = jnp.where(active, p_d, cp)
-        return tree, v, cp
-
-    tree, _, _ = jax.lax.fori_loop(0, depth_cap, backup_body,
-                                   (tree, leaf_v, leaf_p))
+    # ---- backup: closed form instead of a sequential walk ----
+    # The value added at path edge d (in its parent's perspective) is the
+    # leaf value times the product of sign flips over all player changes
+    # below it (alphazero_mcts.cpp:363-375).  Computed as a suffix product
+    # and applied with ONE batched scatter-add per stat array — O(1) kernel
+    # launches instead of O(depth_cap).
+    d_idx = jnp.arange(depth_cap)[None, :]
+    active = (d_idx < depth[:, None]) & ~root_done[:, None]
+    # child player of edge d: next parent on the path, or the leaf player
+    # at the last edge.
+    child_p = jnp.concatenate([pp[:, 1:], pp[:, -1:]], axis=1)
+    child_p = jnp.where(d_idx == depth[:, None] - 1, leaf_p[:, None],
+                        child_p)
+    signs = jnp.where((pp == child_p) | ~active, 1.0, -1.0)
+    suffix = jnp.cumprod(signs[:, ::-1], axis=1)[:, ::-1]
+    v_d = leaf_v[:, None] * suffix
+    w = active.astype(jnp.float32)
+    tree = tree.replace(
+        visit=tree.visit.at[rows[:, None], pn, pa].add(
+            active.astype(jnp.int32)),
+        wsum=tree.wsum.at[rows[:, None], pn, pa].add(v_d * w),
+    )
     return tree
 
 

@@ -260,11 +260,19 @@ def run_scripted_episodes(state0: GameState, key: jax.Array, cfg: Config,
                        status=rules.game_status(state, cfg))
 
 
-def backfill_values(samples: SampleBatch, status: jax.Array) -> SampleBatch:
+def backfill_values(samples: SampleBatch, status: jax.Array,
+                    final_round=None,
+                    round_weighted: bool = False) -> SampleBatch:
     """Game-outcome value targets: z = +-1 from each sample's player
     perspective, 0 on draw/unfinished (reference
-    ``NNTrainDataStorage::updateValues``, alphazero_nn_data.cpp:51-65)."""
+    ``NNTrainDataStorage::updateValues``, alphazero_nn_data.cpp:51-65).
+    With ``round_weighted`` (reference ROUND_WEIGHTED_VALUE), early-game
+    samples are discounted by round/final_round."""
     won = status[None, :] == samples.cur_player.astype(jnp.int32)
     decided = (status[None, :] == 0) | (status[None, :] == 1)
     z = jnp.where(decided, jnp.where(won, 1.0, -1.0), 0.0)
+    if round_weighted and final_round is not None:
+        w = jnp.minimum(samples.round.astype(jnp.float32)
+                        / jnp.maximum(final_round[None, :], 1), 1.0)
+        z = z * w
     return samples._replace(value=z.astype(jnp.float32))

@@ -39,11 +39,21 @@ from .replay import ReplayBuffer
 
 class Trainer:
     def __init__(self, cfg: Config, seed: int = 0,
-                 log_dir: Optional[str] = None):
+                 log_dir: Optional[str] = None, use_mesh: bool = False):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
+        # Data-parallel mesh: params replicated, game/sample batches sharded
+        # over 'dp' (replaces the reference's per-GPU session replication +
+        # checkpoint-file weight bus, alphazero_gpu_cluster.cpp:105-231).
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh()
         self.net, self.tx, self.train_state = create_train_state(
             cfg, self._next_key())
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.train_state = replicate(self.mesh, self.train_state)
         # generate/actor model = last accepted weights
         # (reference "az_generate" group, alphazero_risk.cpp:49-62)
         self.gen_params = self.train_state.params
@@ -75,6 +85,32 @@ class Trainer:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _install_sigint_flush(self):
+        """Flush the replay buffer to disk on Ctrl-C (reference SIGINT
+        handler, alphazero_nn_data.cpp:140-152)."""
+        import signal
+
+        def handler(signum, frame):
+            print("\n=> SIGINT: saving training samples.")
+            self.replay.save(f"{self.cfg.data_dir}/training_samples.npz")
+            raise KeyboardInterrupt
+
+        signal.signal(signal.SIGINT, handler)
+
+    def _initial_states(self, batch):
+        """Fresh deals, mirrored in pairs when cfg.mirror_games (reference
+        game.cpp:170-191), placed on the dp mesh when one is active."""
+        if self.cfg.mirror_games:
+            state0 = mirrored_initial_states(self._next_key(), batch)
+        else:
+            state0 = new_game(self._next_key(), batch)
+            alt = jnp.arange(batch, dtype=jnp.int32) % 2
+            state0 = state0.replace(cur_player=alt)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            state0 = shard_batch(self.mesh, state0)
+        return state0
 
     def _prepare_batch(self, data, idx):
         sub = jax.tree.map(lambda x: x[idx], data)
@@ -114,7 +150,7 @@ class Trainer:
         while done_games < games:
             b = min(per_wave, games - done_games)
             b += b % 2
-            state0 = mirrored_initial_states(self._next_key(), b)
+            state0 = self._initial_states(b)
             out = self._selfplay(self.gen_params, self.gen_batch_stats,
                                  state0, self._next_key())
             added += self.replay.extend_from_actor(out.samples, out.status)
@@ -148,7 +184,7 @@ class Trainer:
             return True
         b = min(cfg.compare_games, cfg.env_batch_per_device)
         b += b % 2
-        state0 = mirrored_initial_states(self._next_key(), b)
+        state0 = self._initial_states(b)
         out = self._arena(self.train_state.params,
                           self.train_state.batch_stats,
                           self.gen_params, self.gen_batch_stats,
@@ -191,7 +227,7 @@ class Trainer:
                            (A.OPP_SCRIPT, cfg.benchmark_games_script)):
             b = max(2, min(games, cfg.env_batch_per_device))
             b += b % 2
-            state0 = mirrored_initial_states(self._next_key(), b)
+            state0 = self._initial_states(b)
             out = self._versus(self.gen_params, self.gen_batch_stats,
                                state0, self._next_key(), opp)
             status = np.asarray(out.status)
@@ -219,6 +255,7 @@ class Trainer:
             self.gen_params = self.train_state.params
             self.gen_batch_stats = self.train_state.batch_stats
             self.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        self._install_sigint_flush()
         for self.iteration in range(iterations or cfg.train_iterations):
             t0 = time.time()
             self.generate_selfplay()
@@ -242,7 +279,7 @@ class Trainer:
             while done < games:
                 b = min(cfg.env_batch_per_device, games - done)
                 b += b % 2
-                state0 = mirrored_initial_states(self._next_key(), b)
+                state0 = self._initial_states(b)
                 out = self._versus(self.train_state.params,
                                    self.train_state.batch_stats,
                                    state0, self._next_key(), A.OPP_SCRIPT)
@@ -263,7 +300,7 @@ class Trainer:
         while done < games:
             b = min(cfg.env_batch_per_device, games - done)
             b += b % 2
-            state0 = mirrored_initial_states(self._next_key(), b)
+            state0 = self._initial_states(b)
             out = self._versus(self.gen_params, self.gen_batch_stats,
                                state0, self._next_key(), opponent)
             status = np.asarray(out.status)
@@ -299,7 +336,7 @@ class Trainer:
                 while done < games:
                     b = min(cfg.env_batch_per_device, games - done)
                     b += b % 2
-                    state0 = mirrored_initial_states(self._next_key(), b)
+                    state0 = self._initial_states(b)
                     out = self._scripted(state0, self._next_key(), kinds)
                     fresh.extend_from_actor(out.samples, out.status)
                     done += b
