@@ -125,8 +125,8 @@ def _apply_mobilization(s: OracleState, amount: int, cfg: Config) -> None:
         _goto_attack(s, cfg)
 
 
-def _end_turn(s: OracleState, cfg: Config) -> None:
-    oracle._next_player_game_turn(s, cfg)
+def _end_turn(s: OracleState, cfg: Config, u_card: float = 0.0) -> None:
+    oracle._next_player_game_turn(s, cfg, u_card)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +182,7 @@ def random_step(s: OracleState, u: List[float], dice: List[int],
                 amt = int(u[2] * max_amt)
                 s.army[frm] -= amt
                 s.army[c] += amt
-        _end_turn(s, cfg)
+        _end_turn(s, cfg, u[3])
 
 
 # ---------------------------------------------------------------------------
@@ -323,5 +323,5 @@ def script_step(s: OracleState, carry: OracleScriptCarry, reset: bool,
                           cfg.land_army_max - s.army[to_l])
                 s.army[from_l] -= amt
                 s.army[to_l] += amt
-        _end_turn(s, cfg)
+        _end_turn(s, cfg, u[3])
     return carry

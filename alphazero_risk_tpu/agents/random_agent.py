@@ -116,7 +116,7 @@ def random_step_recorded(state: GameState, u: jax.Array, dice: jax.Array,
     ramt = jnp.where(can, ramt, 0)
     sf = rules.apply_fortify(state, jnp.where(can, ffrom, 0),
                              jnp.where(can, fto, 0), ramt)
-    s_fortify = rules.end_turn(sf, cfg)
+    s_fortify = rules.end_turn(sf, cfg, u[:, 3])
 
     ph = state.phase
     out = tree_select(ph == PH_SETUP, s_setup, s_fortify)

@@ -230,7 +230,7 @@ def script_step_recorded(state: GameState, carry: ScriptCarry,
     famt = jnp.where(do_fortify, jnp.maximum(famt, 0), 0)
     sf = rules.apply_fortify(state, jnp.where(do_fortify, f_from, 0),
                              jnp.where(do_fortify, f_to, 0), famt)
-    s_fortify = rules.end_turn(sf, cfg)
+    s_fortify = rules.end_turn(sf, cfg, u[:, 3])
 
     # ---------------- blend ----------------
     ph = state.phase

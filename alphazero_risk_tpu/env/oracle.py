@@ -49,6 +49,12 @@ class OracleState:
     mob_to: int = -1
     can_draw_card: bool = False
     attacks_during_turn: int = 0
+    # full-cards mode (STATE_SIMPLE_CARDS off)
+    player_cards: List[List[bool]] = dataclasses.field(
+        default_factory=lambda: [[False] * NUM_LANDS,
+                                 [False] * NUM_LANDS])
+    drawn_cards: List[bool] = dataclasses.field(
+        default_factory=lambda: [False] * NUM_LANDS)
 
 
 def new_game(permutation: List[int]) -> OracleState:
@@ -182,9 +188,30 @@ def _goto_attack(s: OracleState, cfg: Config) -> None:
         s.phase = PH_FORTIFY
 
 
-def _next_player_game_turn(s: OracleState, cfg: Config) -> None:
+def _draw_card(s: OracleState, cfg: Config, u_card: float) -> None:
+    """Reference State::drawCard (state.cpp:618-643), full-cards mode."""
+    if not s.can_draw_card:
+        return
+    available = [not d for d in s.drawn_cards]
+    if not any(available):
+        # sane reshuffle: hands stay out of the deck (see rules.draw_card
+        # for the documented deviation from the reference's literal code)
+        available = [not (s.player_cards[0][l] or s.player_cards[1][l])
+                     for l in range(NUM_LANDS)]
+        s.drawn_cards = [not a for a in available]
+    idx = [l for l, a in enumerate(available) if a]
+    card = idx[min(int(u_card * len(idx)), len(idx) - 1)]
+    s.drawn_cards[card] = True
+    s.player_cards[s.cur_player][card] = True
+
+
+def _next_player_game_turn(s: OracleState, cfg: Config,
+                           u_card: float = 0.0) -> None:
     if s.can_draw_card:
-        s.cards[s.cur_player] += 1
+        if cfg.simple_cards:
+            s.cards[s.cur_player] += 1
+        else:
+            _draw_card(s, cfg, u_card)
         s.can_draw_card = False
     s.round += 1
     s.cur_player = 1 - s.cur_player
@@ -193,13 +220,67 @@ def _next_player_game_turn(s: OracleState, cfg: Config) -> None:
     s.reinforcements = calc_reinforcement(s, s.cur_player)
 
 
+def _gain(k: int) -> int:
+    return [0, 4, 6, 8, 10, 12, 15][k] if k <= 6 else 15 + (k - 6) * 5
+
+
+def _best_combo(s: OracleState, cfg: Config) -> List[int]:
+    """GameHelper::getBestCombo (game_helper.cpp:145-208): best 3-card
+    combo when more than 3 cards are held, [] otherwise.  Tie order:
+    infantry/horse/siege/one-of-each (documented deviation — the reference
+    sorts with an unspecified equal-key order)."""
+    from .topology import CARD_HORSE, CARD_INFANTRY, CARD_SIEGE
+
+    p = s.cur_player
+    hand = [l for l in range(NUM_LANDS) if s.player_cards[p][l]]
+    if len(hand) <= 3:
+        return []
+    types = [CARD_INFANTRY, CARD_HORSE, CARD_SIEGE]
+    owned = [s.owner[l] == p for l in range(NUM_LANDS)]
+    combos = []  # (owned_count, order, cards)
+    for ti, t in enumerate(types):
+        cards_t = [l for l in hand if t[l]]
+        if len(cards_t) >= 3:
+            ordered = sorted(cards_t, key=lambda l: (not owned[l], l))[:3]
+            combos.append((sum(owned[l] for l in ordered), ti, ordered))
+    per_type = [[l for l in hand if t[l]] for t in types]
+    if all(per_type):
+        pick = []
+        oc = 0
+        for cards_t in per_type:
+            o = [l for l in cards_t if owned[l]]
+            if o:
+                pick.append(o[0])
+                oc += 1
+            else:
+                pick.append(cards_t[0])
+        combos.append((oc, 3, pick))
+    if not combos:
+        return []
+    combos.sort(key=lambda c: (-c[0], c[1]))
+    return combos[0][2]
+
+
 def _play_cards(s: OracleState, cfg: Config) -> None:
-    if s.cards[s.cur_player] >= 3:
-        s.cards[s.cur_player] -= 3
-        s.card_sets_played += 1
-        k = s.card_sets_played
-        gained = [0, 4, 6, 8, 10, 12, 15][k] if k <= 6 else 15 + (k - 6) * 5
-        s.reinforcements += gained
+    if cfg.simple_cards:
+        if s.cards[s.cur_player] >= 3:
+            s.cards[s.cur_player] -= 3
+            s.card_sets_played += 1
+            s.reinforcements += _gain(s.card_sets_played)
+        return
+    combo = _best_combo(s, cfg)
+    if not combo:
+        return
+    p = s.cur_player
+    # +2 on the first owned combo land with space (state.cpp:1145-1158)
+    for l in sorted(combo):
+        if s.owner[l] == p and s.army[l] + 2 <= cfg.land_army_max:
+            s.army[l] += 2
+            break
+    for l in combo:
+        s.player_cards[p][l] = False
+    s.card_sets_played += 1
+    s.reinforcements += _gain(s.card_sets_played)
 
 
 def _move_amount(budget: int, cfg: Config) -> int:
@@ -212,7 +293,7 @@ def _move_amount(budget: int, cfg: Config) -> int:
 
 
 def step(s: OracleState, action: int, dice: List[int],
-         cfg: Config) -> OracleState:
+         cfg: Config, u_card: float = 0.0) -> OracleState:
     """Scalar mirror of ``rules.step`` (reference UtilityNN::makeMove).
 
     Mutates and returns ``s``.  ``dice`` is 5 ints in [1,6]; only attack
@@ -326,7 +407,7 @@ def step(s: OracleState, action: int, dice: List[int],
                     amount = min(val, cfg.land_army_max - s.army[action])
                     s.army[frm] -= amount
                     s.army[action] += amount
-        _next_player_game_turn(s, cfg)
+        _next_player_game_turn(s, cfg, u_card)
     return s
 
 

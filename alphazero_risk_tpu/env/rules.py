@@ -67,6 +67,21 @@ for _k in range(7, 64):
 CARD_SET_GAIN = jnp.asarray(_GAIN)
 
 
+def masked_choice(mask: jax.Array, u: jax.Array) -> jax.Array:
+    """Uniform choice among set bits in ascending-index order (reference
+    ``Utility::randomMask``, land.cpp:100-112).  Returns 0 on empty mask."""
+    cnt = mask.sum(-1)
+    n = jnp.clip((u * cnt).astype(jnp.int32), 0, jnp.maximum(cnt - 1, 0))
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    hit = mask & (csum == (n + 1)[..., None])
+    return jnp.argmax(hit, axis=-1).astype(jnp.int32)
+
+
+def first_set_bit(mask: jax.Array) -> jax.Array:
+    """Lowest set index (reference ``Utility::getFirstBitMask``)."""
+    return jnp.argmax(mask, axis=-1).astype(jnp.int32)
+
+
 def neighbors_any(x: jax.Array) -> jax.Array:
     """[B,42] bool -> [B,42] bool: lands adjacent to any set land."""
     return jnp.einsum("bi,ij->bj", x.astype(jnp.float32), ADJ_F32) > 0.5
@@ -219,39 +234,152 @@ def goto_attack(state: GameState, cfg: Config) -> GameState:
     return s.replace(phase=phase)
 
 
-def end_turn(state: GameState, cfg: Config) -> GameState:
+def draw_card(state: GameState, cfg: Config, u_card=None) -> GameState:
+    """Reference ``State::drawCard`` (state.cpp:618-643).  Simple mode: the
+    hand is a count.  Full mode: draw a uniform card from the undrawn pile,
+    reshuffling (everything not in a hand) when the pile empties."""
+    rows = jnp.arange(state.batch_size)
+    p = state.cur_player
+    if cfg.simple_cards:
+        cards = state.cards.at[rows, p].add(
+            state.can_draw_card.astype(jnp.int32))
+        return state.replace(cards=cards)
+    assert u_card is not None, "full-cards draw needs a uniform"
+    # Reshuffle when the pile empties: cards in hands stay out of the deck.
+    # (The reference's literal reshuffle marks the *fresh deck* as drawn,
+    # state.cpp:627-632 — an upstream bug that would deal duplicate cards;
+    # not reproduced.)
+    available = ~state.drawn_cards
+    empty = ~available.any(-1, keepdims=True)
+    in_hands = state.player_cards.any(1)
+    avail = jnp.where(empty, ~in_hands, available)
+    drawn = jnp.where(empty, in_hands, state.drawn_cards)
+    card = masked_choice(avail, u_card)
+    card_oh = jax.nn.one_hot(card, NUM_LANDS, dtype=bool)
+    do = state.can_draw_card[:, None]
+    new_drawn = jnp.where(do, drawn | card_oh, state.drawn_cards)
+    hand = state.player_cards[rows, p]
+    new_hand = jnp.where(do, hand | card_oh, hand)
+    return state.replace(
+        drawn_cards=new_drawn,
+        player_cards=state.player_cards.at[rows, p].set(new_hand))
+
+
+def end_turn(state: GameState, cfg: Config, u_card=None) -> GameState:
     """Reference ``State::nextPlayerGameTurn`` (state.cpp:748-766): draw the
     earned card, advance the round, hand the turn (and a fresh reinforcement
     budget) to the opponent."""
-    p = state.cur_player
-    cards = state.cards.at[jnp.arange(state.batch_size), p].add(
-        state.can_draw_card.astype(jnp.int32))
-    nxt = (1 - p).astype(jnp.int32)
-    s = state.replace(
-        cards=cards,
-        can_draw_card=jnp.zeros_like(state.can_draw_card),
-        round=state.round + 1,
+    s = draw_card(state, cfg, u_card)
+    nxt = (1 - s.cur_player).astype(jnp.int32)
+    s = s.replace(
+        can_draw_card=jnp.zeros_like(s.can_draw_card),
+        round=s.round + 1,
         cur_player=nxt,
-        attacks_during_turn=jnp.zeros_like(state.attacks_during_turn),
-        phase=jnp.full_like(state.phase, PH_REINFORCEMENT),
+        attacks_during_turn=jnp.zeros_like(s.attacks_during_turn),
+        phase=jnp.full_like(s.phase, PH_REINFORCEMENT),
     )
     owned_next = s.owner == nxt[:, None]
     return s.replace(reinforcements=calc_reinforcement(owned_next))
 
 
 def play_cards(state: GameState, cfg: Config) -> GameState:
-    """Simple-cards set play (reference ``State::playCards``,
-    state.cpp:1090-1117 with STATE_SIMPLE_CARDS): trade 3 cards for the
-    escalating bonus whenever at least 3 are held."""
+    """Card set trade-in (reference ``GameHelper::playCards`` dispatch,
+    game_helper.cpp:3-17).
+
+    Simple mode (default build): trade 3 counted cards whenever >= 3 held
+    (state.cpp:1090-1117).  Full mode: best 3-card combo (same-type or
+    one-of-each, preferring owned-territory cards) when *more than* 3 are
+    held, +2 armies on the first owned combo land with space
+    (game_helper.cpp:111-208, state.cpp:1119-1177)."""
+    if cfg.simple_cards:
+        p = state.cur_player
+        held = state.cards[jnp.arange(state.batch_size), p]
+        play = held >= 3
+        cards = state.cards.at[jnp.arange(state.batch_size), p].add(
+            jnp.where(play, -3, 0))
+        sets = state.card_sets_played + play.astype(jnp.int32)
+        gained = jnp.where(play, CARD_SET_GAIN[jnp.clip(sets, 0, 63)], 0)
+        return state.replace(cards=cards, card_sets_played=sets,
+                             reinforcements=state.reinforcements + gained)
+    return _play_cards_full(state, cfg)
+
+
+CARD_TYPES = jnp.stack([
+    jnp.asarray(topology.CARD_INFANTRY),
+    jnp.asarray(topology.CARD_HORSE),
+    jnp.asarray(topology.CARD_SIEGE),
+])  # [3, 42] bool
+
+
+def _best_combo(hand: jax.Array, owned: jax.Array):
+    """Vectorized ``GameHelper::getBestCombo`` (game_helper.cpp:145-208):
+    returns ([B,42] combo mask, [B] valid).  Ties between equally-owned
+    combos resolve in the fixed order infantry/horse/siege/one-of-each (the
+    reference's std::sort on equal keys is unspecified order)."""
+    b = hand.shape[0]
+    idx = jnp.arange(NUM_LANDS)[None, :]
+    eligible = hand.sum(-1) > 3          # strictly more than 3 cards
+
+    combo_masks = []
+    combo_scores = []
+    for t in range(3):
+        ht = hand & CARD_TYPES[t][None, :]
+        valid = ht.sum(-1) >= 3
+        # pick 3 cards, owned first, each group in ascending index order
+        key = jnp.where(ht, (~owned).astype(jnp.int32) * 64 + idx, 10_000)
+        _, picks = jax.lax.top_k(-key, 3)            # 3 smallest keys
+        mask = jnp.zeros((b, NUM_LANDS), bool).at[
+            jnp.arange(b)[:, None], picks].set(True) & ht
+        owned_cnt = (mask & owned).sum(-1)
+        combo_masks.append(mask)
+        combo_scores.append(jnp.where(valid, owned_cnt, -1))
+
+    # one of each type (preferring an owned card per type)
+    each_valid = jnp.ones((b,), bool)
+    each_mask = jnp.zeros((b, NUM_LANDS), bool)
+    each_owned = jnp.zeros((b,), jnp.int32)
+    for t in range(3):
+        ht = hand & CARD_TYPES[t][None, :]
+        each_valid &= ht.any(-1)
+        ho = ht & owned
+        pick = jnp.where(ho.any(-1), first_set_bit(ho), first_set_bit(ht))
+        each_mask |= jax.nn.one_hot(pick, NUM_LANDS, dtype=bool) & ht
+        each_owned += (ho.any(-1)).astype(jnp.int32)
+    combo_masks.append(each_mask)
+    combo_scores.append(jnp.where(each_valid, each_owned, -1))
+
+    scores = jnp.stack(combo_scores, axis=-1)        # [B, 4]
+    # earlier combo wins ties: score*8 + (3 - position)
+    keyed = scores * 8 + (3 - jnp.arange(4))[None, :]
+    keyed = jnp.where(scores >= 0, keyed, -1)
+    best = jnp.argmax(keyed, axis=-1)
+    combo = jnp.stack(combo_masks, axis=1)[jnp.arange(b), best]
+    valid = eligible & (keyed.max(-1) >= 0)
+    return combo & hand, valid
+
+
+def _play_cards_full(state: GameState, cfg: Config) -> GameState:
+    rows = jnp.arange(state.batch_size)
     p = state.cur_player
-    held = state.cards[jnp.arange(state.batch_size), p]
-    play = held >= 3
-    cards = state.cards.at[jnp.arange(state.batch_size), p].add(
-        jnp.where(play, -3, 0))
+    hand = state.player_cards[rows, p]
+    owned = state.owner == p[:, None]
+    combo, play = _best_combo(hand, owned)
+
+    # +2 on the first owned combo land with space (state.cpp:1145-1158)
+    bonus_cand = combo & owned & (
+        state.army + 2 <= cfg.land_army_max)
+    bland = first_set_bit(bonus_cand)
+    do_bonus = play & bonus_cand.any(-1)
+    army = state.army.at[rows, bland].add(jnp.where(do_bonus, 2, 0))
+
+    new_hand = jnp.where(play[:, None], hand & ~combo, hand)
     sets = state.card_sets_played + play.astype(jnp.int32)
     gained = jnp.where(play, CARD_SET_GAIN[jnp.clip(sets, 0, 63)], 0)
-    return state.replace(cards=cards, card_sets_played=sets,
-                         reinforcements=state.reinforcements + gained)
+    return state.replace(
+        army=army,
+        player_cards=state.player_cards.at[rows, p].set(new_hand),
+        card_sets_played=sets,
+        reinforcements=state.reinforcements + gained)
 
 
 def _move_amount(budget: jax.Array, cfg: Config) -> jax.Array:
@@ -484,7 +612,7 @@ def connected_to(owned: jax.Array, src: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def step(state: GameState, action: jax.Array, dice: jax.Array,
-         cfg: Config) -> GameState:
+         cfg: Config, u_card=None) -> GameState:
     """Apply one 43-way action per game (reference ``UtilityNN::makeMove``,
     alphazero_moves.cpp:72-233).
 
@@ -566,7 +694,7 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     sf = state.replace(
         army=state.army.at[rows, f_from].add(-famount)
                        .at[rows, li].add(famount))
-    s_fortify = end_turn(sf, cfg)
+    s_fortify = end_turn(sf, cfg, u_card)
 
     # ---- blend by phase ----
     ph = state.phase
@@ -588,4 +716,7 @@ def roll_dice(key: jax.Array, batch_size: int) -> jax.Array:
 
 def step_key(state: GameState, action: jax.Array, key: jax.Array,
              cfg: Config) -> GameState:
-    return step(state, action, roll_dice(key, state.batch_size), cfg)
+    kd, ku = jax.random.split(key)
+    u_card = None if cfg.simple_cards else jax.random.uniform(
+        ku, (state.batch_size,))
+    return step(state, action, roll_dice(kd, state.batch_size), cfg, u_card)

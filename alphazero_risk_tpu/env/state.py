@@ -48,6 +48,11 @@ class GameState:
     mob_to: jax.Array          # [B] int32 land index, -1 = None
     can_draw_card: jax.Array   # [B] bool
     attacks_during_turn: jax.Array  # [B] int32
+    # Full-cards mode only (STATE_SIMPLE_CARDS off, state.h:68-72,100-104):
+    # per-territory hands and the drawn-pile mask.  All-false under
+    # simple_cards.
+    player_cards: jax.Array    # [B, 2, 42] bool
+    drawn_cards: jax.Array     # [B, 42] bool
 
     @property
     def batch_size(self) -> int:
@@ -84,6 +89,8 @@ def new_game(key: jax.Array, batch_size: int) -> GameState:
         mob_to=jnp.full((b,), -1, jnp.int32),
         can_draw_card=jnp.zeros((b,), bool),
         attacks_during_turn=jnp.zeros((b,), jnp.int32),
+        player_cards=jnp.zeros((b, 2, NUM_LANDS), bool),
+        drawn_cards=jnp.zeros((b, NUM_LANDS), bool),
     )
 
 
@@ -92,7 +99,8 @@ def invert_players(state: GameState) -> GameState:
     state.cpp:493-516).  Used for mirrored game pairs."""
     owner = jnp.where(state.owner == 0, 1,
                       jnp.where(state.owner == 1, 0, state.owner))
-    return state.replace(owner=owner, cards=state.cards[:, ::-1])
+    return state.replace(owner=owner, cards=state.cards[:, ::-1],
+                         player_cards=state.player_cards[:, ::-1])
 
 
 def set_current_player(state: GameState, player) -> GameState:

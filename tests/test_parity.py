@@ -22,6 +22,8 @@ STEPS = 700
 
 def oracle_to_arrays(games):
     return GameState(
+        player_cards=jnp.array([g.player_cards for g in games], bool),
+        drawn_cards=jnp.array([g.drawn_cards for g in games], bool),
         owner=jnp.array([g.owner for g in games], jnp.int32),
         army=jnp.array([g.army for g in games], jnp.int32),
         phase=jnp.array([g.phase for g in games], jnp.int32),
@@ -44,16 +46,22 @@ def assert_states_equal(vec: GameState, games, step_idx):
     ref = oracle_to_arrays(games)
     for name in ("owner", "army", "phase", "round", "cur_player",
                  "reinforcements", "cards", "card_sets_played", "mob_from",
-                 "mob_to", "can_draw_card", "attacks_during_turn"):
+                 "mob_to", "can_draw_card", "attacks_during_turn",
+                 "player_cards", "drawn_cards"):
         a = np.asarray(getattr(vec, name))
         b = np.asarray(getattr(ref, name))
         assert (a == b).all(), (
             f"step {step_idx}: field {name} diverged:\n{a}\nvs oracle\n{b}")
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_trajectory_parity(seed):
-    cfg = Config()
+@pytest.mark.parametrize("seed,cfg", [
+    (0, Config()),
+    (1, Config()),
+    (2, Config(simple_cards=False)),
+    (3, Config(simple_cards=False, limit_reinforcement_moves=False)),
+    (4, Config(limit_attack_moves=True)),
+])
+def test_trajectory_parity(seed, cfg):
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     state = new_game(key, BATCH)
@@ -86,13 +94,16 @@ def test_trajectory_parity(seed):
             choices = np.nonzero(om)[0]
             actions[b] = rng.choice(choices)
         dice = rng.integers(1, 7, size=(BATCH, 5)).astype(np.int32)
+        u_card = rng.random(BATCH).astype(np.float32)
 
         vec_status = np.asarray(status_jit(state, cfg))
         assert vec_status.tolist() == statuses, f"status diverged at {t}"
 
-        state = step_jit(state, jnp.asarray(actions), jnp.asarray(dice), cfg)
+        state = step_jit(state, jnp.asarray(actions), jnp.asarray(dice), cfg,
+                         None if cfg.simple_cards else jnp.asarray(u_card))
         for b, g in enumerate(games):
-            oracle.step(g, int(actions[b]), [int(d) for d in dice[b]], cfg)
+            oracle.step(g, int(actions[b]), [int(d) for d in dice[b]], cfg,
+                        float(u_card[b]))
         assert_states_equal(state, games, t)
         if all(st != STATUS_NOT_ENDED for st in statuses):
             break
