@@ -1,0 +1,109 @@
+"""Supervised bootstrap experiment on the real chip.
+
+Reproduces the reference's `-m train-data` recipe (the path that produced
+its best models, alphazero_trainer.cpp:227-319) at reduced scale: per loop,
+generate Script-vs-Script + Script-vs-Random games, train 3 epochs, gate
+against the previous model, benchmark vs ScriptPlayer at 32 MCTS sims.
+
+Reference yardstick (BASELINE.md): 5-block SR-bootstrapped model reaches
+~53.5% vs ScriptPlayer at 32 sims; 20-block SR peaks 68.3% at 512 sims.
+
+Usage: python experiments/bootstrap_run.py [--loops N] [--out DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from alphazero_risk_tpu.config import Config  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loops", type=int, default=12)
+    ap.add_argument("--out", default="experiments/bootstrap_out")
+    ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--games", type=int, default=2000)
+    ap.add_argument("--mcts", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    os.chdir(args.out)
+
+    cfg = Config(
+        blocks=args.blocks,
+        mcts_simulations=args.mcts,
+        max_depth=48,
+        batch_size=512,
+        env_batch_per_device=512,
+        data_games_ss=args.games,
+        data_games_sr=args.games,
+        compare_games=192,
+        benchmark_games_random=16,
+        benchmark_games_script=128,
+        max_game_steps=1000,
+    )
+
+    from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
+    from alphazero_risk_tpu.training import actor as A  # noqa: E402
+
+    t = Trainer(cfg, seed=args.seed)
+    print(f"bootstrap run: {args.loops} loops, cfg blocks={cfg.blocks} "
+          f"mcts={cfg.mcts_simulations}", flush=True)
+
+    for loop in range(args.loops):
+        t0 = time.time()
+        t.iteration = loop
+        # one train-data loop, inlined so we can log timings
+        from alphazero_risk_tpu.training.replay import ReplayBuffer
+        fresh = ReplayBuffer(cfg)
+        for kinds, games in (((A.OPP_SCRIPT, A.OPP_SCRIPT),
+                              cfg.data_games_ss),
+                             ((A.OPP_SCRIPT, A.OPP_RANDOM),
+                              cfg.data_games_sr)):
+            done = 0
+            while done < games:
+                b = min(cfg.env_batch_per_device, games - done)
+                b += b % 2
+                state0 = t._initial_states(b)
+                out = t._scripted(state0, t._next_key(), kinds)
+                fresh.extend_from_actor(out.samples, out.status)
+                done += b
+        t.replay = fresh
+        t_gen = time.time() - t0
+
+        t1 = time.time()
+        pi_l, v_l = t.train_epochs(epochs=3)
+        t_train = time.time() - t1
+
+        t2 = time.time()
+        improved = t.gate()
+        t_gate = time.time() - t2
+
+        t3 = time.time()
+        bench = t.benchmark()
+        t_bench = time.time() - t3
+
+        rec = {
+            "loop": loop, "samples": len(t.replay),
+            "pi_loss": pi_l, "v_loss": v_l, "improved": improved,
+            "vs_random": bench[0], "vs_script": bench[1],
+            "t_gen": round(t_gen, 1), "t_train": round(t_train, 1),
+            "t_gate": round(t_gate, 1), "t_bench": round(t_bench, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        with open("progress.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    t.ckpt.save("final", t.train_state)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
