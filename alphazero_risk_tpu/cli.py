@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "analysis", "bench"])
     p.add_argument("--p2", default="sp", choices=["sp", "rp", "az"],
                    help="opponent in play mode (reference --p2)")
+    p.add_argument("--c1", default="latest",
+                   help="checkpoint role for player 1 (az)")
+    p.add_argument("--c2", default="best",
+                   help="checkpoint role for player 2 (az vs az)")
     p.add_argument("--games", "--cg", type=int, default=1000,
                    help="games for play/compare")
     p.add_argument("--mcts", type=int, default=None,
@@ -118,14 +122,15 @@ def main(argv=None):
     trainer = Trainer(cfg, seed=args.seed)
 
     if args.mode == "play":
-        trainer.train_state = trainer.ckpt.restore("latest",
+        trainer.train_state = trainer.ckpt.restore(args.c1,
                                                    trainer.train_state)
         trainer.gen_params = trainer.train_state.params
         trainer.gen_batch_stats = trainer.train_state.batch_stats
-        opp = {"sp": A.OPP_SCRIPT, "rp": A.OPP_RANDOM}.get(args.p2)
-        if opp is None:
-            raise SystemExit("az-vs-az play: use -m train gating instead")
-        res = trainer.play(opp, args.games)
+        if args.p2 == "az":
+            res = trainer.play_az_vs_az(args.c2, args.games)
+        else:
+            opp = {"sp": A.OPP_SCRIPT, "rp": A.OPP_RANDOM}[args.p2]
+            res = trainer.play(opp, args.games)
         print(json.dumps({"mode": "play", "p2": args.p2, **res}))
     elif args.mode == "train":
         trainer.train(iterations=args.ti)

@@ -1,0 +1,75 @@
+"""Multi-host runtime: initialization + cross-process data plumbing.
+
+The reference is strictly single-process (SURVEY.md section 5: no
+communication backend at all — mutexes and checkpoint files).  The
+TPU-native scale-out path is:
+
+  * ``jax.distributed.initialize`` once per host process,
+  * one global ``Mesh`` over all devices (dp axis),
+  * self-play batches created per-host and assembled into one global array
+    (``host_local_batch``) so each host steps only its shard,
+  * the learner's gradient psum rides ICI/DCN via XLA — nothing manual,
+  * win/sample tallies gathered with ``process_allgather``.
+
+Single-host callers can use everything here unchanged (world size 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bring up the multi-host runtime (no-op when single-process and no
+    coordinator is given)."""
+    if num_processes is None and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def global_mesh(axis: str = "dp") -> Mesh:
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def host_local_batch(mesh: Mesh, make_local, global_batch: int,
+                     axis: str = "dp"):
+    """Build a globally-sharded [B, ...] pytree from per-host local pieces.
+
+    ``make_local(local_batch) -> pytree of [local_batch, ...] numpy/jax``
+    is called once per process with its share of the batch; the result is
+    assembled with ``jax.make_array_from_process_local_data`` so each host
+    holds only its shard.
+    """
+    nproc = jax.process_count()
+    assert global_batch % nproc == 0, (global_batch, nproc)
+    local = make_local(global_batch // nproc)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def assemble(x):
+        x = np.asarray(x)
+        global_shape = (global_batch,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape)
+
+    return jax.tree.map(assemble, local)
+
+
+def allgather_metrics(values: dict) -> dict:
+    """Sum scalar metrics across processes (win tallies, sample counts)."""
+    if jax.process_count() == 1:
+        return dict(values)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    arr = np.asarray([float(values[k]) for k in keys])
+    total = multihost_utils.process_allgather(arr).sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, total)}

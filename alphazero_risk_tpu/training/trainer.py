@@ -321,6 +321,40 @@ class Trainer:
             done += b
         return totals
 
+    def play_az_vs_az(self, other_role: str, games: int):
+        """AZ-vs-AZ matches between the loaded model (seat 0) and another
+        checkpoint role (seat 1), argmax moves, mirrored pairs (reference
+        executePlay with -p1 az -p2 az, alphazero_risk.cpp:4-47)."""
+        cfg = self.cfg
+        other = self.ckpt.restore(other_role, self.train_state)
+        totals = None
+        done = 0
+        while done < games:
+            b = min(cfg.env_batch_per_device, games - done)
+            b += b % 2
+            state0 = self._initial_states(b)
+            out = self._arena(self.train_state.params,
+                              self.train_state.batch_stats,
+                              other.params, other.batch_stats,
+                              state0, self._next_key())
+            status = np.asarray(out.status)
+            started = np.asarray(state0.cur_player)
+            part = {
+                "games": int(status.shape[0]),
+                "p0_wins": int((status == 0).sum()),
+                "p1_wins": int((status == 1).sum()),
+                "draws": int((status == -2).sum()),
+                "unfinished": int((status == -1).sum()),
+                "p0_win_started": int(((status == 0) & (started == 0)
+                                       ).sum()),
+                "p1_win_started": int(((status == 1) & (started == 1)
+                                       ).sum()),
+            }
+            totals = part if totals is None else {
+                k: totals[k] + part[k] for k in part}
+            done += b
+        return totals
+
     def train_on_data(self, loops: Optional[int] = None,
                       do_benchmark: bool = True):
         """Supervised bootstrap from heuristic games (reference
