@@ -74,6 +74,8 @@ class Config:
     # reference src/settings.h:41-44) ----
     env_batch_per_device: int = 1024  # lockstep games per chip
     max_game_steps: int = 4096        # micro-decision cap per game (safety)
+    actor_chunk_steps: int = 128      # micro-steps per device dispatch
+    #   (bounds single-execution time and allows early stop on all-done)
     dp_axis: str = "dp"               # data-parallel mesh axis name
 
     # ---- Paths / IO ----

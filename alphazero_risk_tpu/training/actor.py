@@ -129,6 +129,8 @@ class ActorOutput(NamedTuple):
     state: GameState
     samples: SampleBatch          # [T, B, ...]
     status: jax.Array             # [B]
+    carry: "script_agent.ScriptCarry" = None   # opponent carry (chunking)
+    prev_player: jax.Array = None              # mover of last step
 
 
 def _opponent_step(kind: int, state, carry, reset, u, dice, cfg):
@@ -147,8 +149,13 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
                  az_seats: Tuple[bool, bool] = (True, True),
                  sample_moves: bool = True,
                  record_all: bool = True,
-                 paired_eval: bool = False) -> ActorOutput:
+                 paired_eval: bool = False,
+                 carry_in=None, prev_in=None) -> ActorOutput:
     """Advance B games ``num_steps`` micro-decisions.
+
+    ``carry_in``/``prev_in`` resume a chunked run (the trainer drives
+    episodes in bounded chunks so a single device execution stays short and
+    finished batches stop early).
 
     ``eval_fn(state, legal) -> (probs, value)`` already closed over params.
     ``az_seats[p]`` — seat p is MCTS-driven; other seats use ``opponent``.
@@ -208,17 +215,20 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
 
         return (nstate, n_carry, mover, key), rec
 
-    init = (state0, script_agent.init_carry(b),
-            jnp.full((b,), -1, jnp.int32), key)
-    (state, _, _, _), samples = jax.lax.scan(body, init, None,
-                                             length=num_steps)
+    init = (state0,
+            script_agent.init_carry(b) if carry_in is None else carry_in,
+            jnp.full((b,), -1, jnp.int32) if prev_in is None else prev_in,
+            key)
+    (state, carry, prev, _), samples = jax.lax.scan(body, init, None,
+                                                    length=num_steps)
     return ActorOutput(state=state, samples=samples,
-                       status=rules.game_status(state, cfg))
+                       status=rules.game_status(state, cfg),
+                       carry=carry, prev_player=prev)
 
 
 def run_scripted_episodes(state0: GameState, key: jax.Array, cfg: Config,
-                          num_steps: int,
-                          kinds: Tuple[int, int]) -> ActorOutput:
+                          num_steps: int, kinds: Tuple[int, int],
+                          carry_in=None, prev_in=None) -> ActorOutput:
     """Script/random-only games with every micro-decision recorded as a
     one-hot policy sample — the reference's ``train-data`` supervised
     bootstrap data generator (alphazero_trainer.cpp:227-319, where its best
@@ -254,12 +264,15 @@ def run_scripted_episodes(state0: GameState, key: jax.Array, cfg: Config,
         rec = _record(state, pi, valid)
         return (nstate, ncarry, state.cur_player, key), rec
 
-    init = (state0, script_agent.init_carry(b),
-            jnp.full((b,), -1, jnp.int32), key)
-    (state, _, _, _), samples = jax.lax.scan(body, init, None,
-                                             length=num_steps)
+    init = (state0,
+            script_agent.init_carry(b) if carry_in is None else carry_in,
+            jnp.full((b,), -1, jnp.int32) if prev_in is None else prev_in,
+            key)
+    (state, carry, prev, _), samples = jax.lax.scan(body, init, None,
+                                                    length=num_steps)
     return ActorOutput(state=state, samples=samples,
-                       status=rules.game_status(state, cfg))
+                       status=rules.game_status(state, cfg),
+                       carry=carry, prev_player=prev)
 
 
 def backfill_values(samples: SampleBatch, status: jax.Array,

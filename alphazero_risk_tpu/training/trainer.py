@@ -68,18 +68,24 @@ class Trainer:
         self._epoch = jax.jit(
             make_epoch_fn(self.net, self.tx, cfg,
                           prepare_batch=self._prepare_batch))
-        steps = cfg.max_game_steps
-        self._selfplay = jax.jit(
-            lambda p, bs, s0, k: self._run_selfplay(p, bs, s0, k, steps))
-        self._arena = jax.jit(
-            lambda pa, bsa, pb, bsb, s0, k: self._run_arena(
-                pa, bsa, pb, bsb, s0, k, steps))
-        self._versus = jax.jit(
-            lambda p, bs, s0, k, opp: self._run_versus(
-                p, bs, s0, k, opp, steps), static_argnums=4)
-        self._scripted = jax.jit(
-            lambda s0, k, kinds: A.run_scripted_episodes(
-                s0, k, cfg, steps, kinds), static_argnums=2)
+        # Episodes run in bounded chunks: one device dispatch advances every
+        # game `actor_chunk_steps` micro-decisions, the host checks for
+        # all-done between chunks (early exit + keeps single executions
+        # short for the runtime).
+        chunk = cfg.actor_chunk_steps
+        self._selfplay_chunk = jax.jit(
+            lambda p, bs, s0, c, pr, k: self._run_selfplay(
+                p, bs, s0, c, pr, k, chunk))
+        self._arena_chunk = jax.jit(
+            lambda pa, bsa, pb, bsb, s0, c, pr, k: self._run_arena(
+                pa, bsa, pb, bsb, s0, c, pr, k, chunk))
+        self._versus_chunk = jax.jit(
+            lambda p, bs, s0, c, pr, k, opp: self._run_versus(
+                p, bs, s0, c, pr, k, opp, chunk), static_argnums=6)
+        self._scripted_chunk = jax.jit(
+            lambda s0, c, pr, k, kinds: A.run_scripted_episodes(
+                s0, k, cfg, chunk, kinds, carry_in=c, prev_in=pr),
+            static_argnums=4)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -121,23 +127,53 @@ class Trainer:
             "value": sub["value"],
         }
 
-    # ---- jitted episode wrappers ----
-    def _run_selfplay(self, params, bstats, state0, key, num_steps):
+    # ---- jitted episode wrappers (one chunk per call) ----
+    def _run_selfplay(self, params, bstats, state0, carry, prev, key,
+                      num_steps):
         efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
         return A.run_episodes(efn, state0, key, self.cfg, num_steps,
-                              sample_moves=True)
+                              sample_moves=True, carry_in=carry,
+                              prev_in=prev)
 
-    def _run_arena(self, pa, bsa, pb, bsb, state0, key, num_steps):
+    def _run_arena(self, pa, bsa, pb, bsb, state0, carry, prev, key,
+                   num_steps):
         efn = lambda s, m, use_a: self._paired(  # noqa: E731
             pa, bsa, pb, bsb, use_a, s, m)
         return A.run_episodes(efn, state0, key, self.cfg, num_steps,
-                              sample_moves=False, paired_eval=True)
+                              sample_moves=False, paired_eval=True,
+                              carry_in=carry, prev_in=prev)
 
-    def _run_versus(self, params, bstats, state0, key, opponent, num_steps):
+    def _run_versus(self, params, bstats, state0, carry, prev, key,
+                    opponent, num_steps):
         efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
         return A.run_episodes(efn, state0, key, self.cfg, num_steps,
                               opponent=opponent, az_seats=(True, False),
-                              sample_moves=False)
+                              sample_moves=False, carry_in=carry,
+                              prev_in=prev)
+
+    def _episode_loop(self, chunk_call, state0) -> A.ActorOutput:
+        """Drive chunked episodes to completion (or the step cap)."""
+        from ..agents.script_agent import init_carry
+
+        b = state0.batch_size
+        carry = init_carry(b)
+        prev = jnp.full((b,), -1, jnp.int32)
+        chunks = []
+        status = None
+        state = state0
+        n_chunks = max(self.cfg.max_game_steps
+                       // self.cfg.actor_chunk_steps, 1)
+        for _ in range(n_chunks):
+            out = chunk_call(state, carry, prev, self._next_key())
+            chunks.append(jax.device_get(out.samples))
+            state, carry, prev = out.state, out.carry, out.prev_player
+            status = np.asarray(out.status)
+            if (status != STATUS_NOT_ENDED).all():
+                break
+        samples = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *chunks)
+        return A.ActorOutput(state=state, samples=samples,
+                             status=status)
 
     # ------------------------------------------------------------------
     def generate_selfplay(self, games: Optional[int] = None) -> int:
@@ -151,8 +187,10 @@ class Trainer:
             b = min(per_wave, games - done_games)
             b += b % 2
             state0 = self._initial_states(b)
-            out = self._selfplay(self.gen_params, self.gen_batch_stats,
-                                 state0, self._next_key())
+            out = self._episode_loop(
+                lambda st, c, pr, k: self._selfplay_chunk(
+                    self.gen_params, self.gen_batch_stats, st, c, pr, k),
+                state0)
             added += self.replay.extend_from_actor(out.samples, out.status)
             done_games += b
         self.logs.event("selfplay", games=done_games, samples=added,
@@ -185,10 +223,11 @@ class Trainer:
         b = min(cfg.compare_games, cfg.env_batch_per_device)
         b += b % 2
         state0 = self._initial_states(b)
-        out = self._arena(self.train_state.params,
-                          self.train_state.batch_stats,
-                          self.gen_params, self.gen_batch_stats,
-                          state0, self._next_key())
+        out = self._episode_loop(
+            lambda st, c, pr, k: self._arena_chunk(
+                self.train_state.params, self.train_state.batch_stats,
+                self.gen_params, self.gen_batch_stats, st, c, pr, k),
+            state0)
         if cfg.include_compare_games_train_samples:
             self.replay.extend_from_actor(out.samples, out.status)
         status = np.asarray(out.status)
@@ -228,8 +267,10 @@ class Trainer:
             b = max(2, min(games, cfg.env_batch_per_device))
             b += b % 2
             state0 = self._initial_states(b)
-            out = self._versus(self.gen_params, self.gen_batch_stats,
-                               state0, self._next_key(), opp)
+            out = self._episode_loop(
+                lambda st, c, pr, k: self._versus_chunk(
+                    self.gen_params, self.gen_batch_stats, st, c, pr, k,
+                    opp), state0)
             status = np.asarray(out.status)
             results.append({
                 "games": int(status.shape[0]),
@@ -280,9 +321,11 @@ class Trainer:
                 b = min(cfg.env_batch_per_device, games - done)
                 b += b % 2
                 state0 = self._initial_states(b)
-                out = self._versus(self.train_state.params,
-                                   self.train_state.batch_stats,
-                                   state0, self._next_key(), A.OPP_SCRIPT)
+                out = self._episode_loop(
+                    lambda st, c, pr, k: self._versus_chunk(
+                        self.train_state.params,
+                        self.train_state.batch_stats, st, c, pr, k,
+                        A.OPP_SCRIPT), state0)
                 self.replay.extend_from_actor(out.samples, out.status)
                 done += b
             self.replay.trim()
@@ -301,8 +344,10 @@ class Trainer:
             b = min(cfg.env_batch_per_device, games - done)
             b += b % 2
             state0 = self._initial_states(b)
-            out = self._versus(self.gen_params, self.gen_batch_stats,
-                               state0, self._next_key(), opponent)
+            out = self._episode_loop(
+                lambda st, c, pr, k: self._versus_chunk(
+                    self.gen_params, self.gen_batch_stats, st, c, pr, k,
+                    opponent), state0)
             status = np.asarray(out.status)
             started = np.asarray(state0.cur_player)
             part = {
@@ -333,10 +378,11 @@ class Trainer:
             b = min(cfg.env_batch_per_device, games - done)
             b += b % 2
             state0 = self._initial_states(b)
-            out = self._arena(self.train_state.params,
-                              self.train_state.batch_stats,
-                              other.params, other.batch_stats,
-                              state0, self._next_key())
+            out = self._episode_loop(
+                lambda st, c, pr, k: self._arena_chunk(
+                    self.train_state.params, self.train_state.batch_stats,
+                    other.params, other.batch_stats, st, c, pr, k),
+                state0)
             status = np.asarray(out.status)
             started = np.asarray(state0.cur_player)
             part = {
@@ -371,7 +417,9 @@ class Trainer:
                     b = min(cfg.env_batch_per_device, games - done)
                     b += b % 2
                     state0 = self._initial_states(b)
-                    out = self._scripted(state0, self._next_key(), kinds)
+                    out = self._episode_loop(
+                        lambda st, c, pr, k: self._scripted_chunk(
+                            st, c, pr, k, kinds), state0)
                     fresh.extend_from_actor(out.samples, out.status)
                     done += b
             self.replay = fresh

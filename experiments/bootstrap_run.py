@@ -72,7 +72,9 @@ def main():
                 b = min(cfg.env_batch_per_device, games - done)
                 b += b % 2
                 state0 = t._initial_states(b)
-                out = t._scripted(state0, t._next_key(), kinds)
+                out = t._episode_loop(
+                    lambda st, c, pr, k: t._scripted_chunk(st, c, pr, k,
+                                                           kinds), state0)
                 fresh.extend_from_actor(out.samples, out.status)
                 done += b
         t.replay = fresh
