@@ -207,7 +207,7 @@ def script_step_recorded(state: GameState, carry: ScriptCarry,
 
     # ---------------- FORTIFY (script_player.cpp:138-160,
     # game_helper.cpp:40-109) ----------------
-    label = _component_labels(m.owned)
+    label = rules.component_labels(m.owned)
     has_outside = rules.neighbor_count(~m.owned) > 0
     interior = m.owned & ~has_outside
     # per-component max interior stack (landFortifyFromAmount)
@@ -263,10 +263,3 @@ def script_step_recorded(state: GameState, carry: ScriptCarry,
             tree_select(live, new_carry, carry),
             (action, record))
 
-
-def _component_labels(owned: jax.Array) -> jax.Array:
-    """[B,42] int32: per-land component label = lowest land index reachable
-    within the owned subgraph (self for unowned lands)."""
-    reach = rules.reach_matrix(owned)
-    lbl = jnp.argmax(reach, axis=-1).astype(jnp.int32)  # first reachable
-    return jnp.where(owned, lbl, jnp.arange(NUM_LANDS)[None, :])

@@ -55,6 +55,7 @@ from .state import GameState, tree_select
 ADJ = jnp.asarray(topology.ADJACENCY)
 ADJ_F32 = jnp.asarray(topology.ADJ_F32)
 NEIGHBOR_RANK = jnp.asarray(topology.NEIGHBOR_RANK)
+NEIGHBOR_IDX = jnp.asarray(topology.NEIGHBOR_IDX)
 CONTINENT_MASK_F32 = jnp.asarray(topology.CONTINENT_MASK.astype(np.float32))
 CONTINENT_SIZE = jnp.asarray(topology.CONTINENT_SIZE)
 CONTINENT_BONUS = jnp.asarray(topology.CONTINENT_BONUS)
@@ -602,9 +603,52 @@ def reach_matrix(owned: jax.Array) -> jax.Array:
 
 
 def connected_to(owned: jax.Array, src: jax.Array) -> jax.Array:
-    """[B,42] bool: owned lands in the same component as land ``src``."""
-    reach = reach_matrix(owned)
-    return reach[jnp.arange(owned.shape[0]), src]
+    """[B,42] bool: owned lands in the same component as land ``src``.
+
+    Frontier propagation to fixpoint — O(diameter) iterations of a tiny
+    [B,42]x[42,42] matmul (typical owned-subgraph diameter is ~5; worst
+    case 41), much lighter than materializing the [B,42,42] reachability.
+    """
+    reach0 = jax.nn.one_hot(src, NUM_LANDS, dtype=bool) & owned
+
+    def cond(c):
+        reach, grew = c
+        return grew
+
+    def body(c):
+        reach, _ = c
+        new = (reach | neighbors_any(reach)) & owned
+        return new, (new != reach).any()
+
+    reach, _ = jax.lax.while_loop(cond, body,
+                                  (reach0, jnp.asarray(True)))
+    return reach
+
+
+def component_labels(owned: jax.Array) -> jax.Array:
+    """[B,42] int32: per-land component label = lowest reachable land index
+    within the owned subgraph (self-label for unowned lands).  Min-label
+    propagation to fixpoint."""
+    idx = jnp.arange(NUM_LANDS, dtype=jnp.int32)[None, :]
+    big = jnp.int32(NUM_LANDS)
+    lbl0 = jnp.where(owned, idx, big)
+
+    def cond(c):
+        lbl, grew = c
+        return grew
+
+    def body(c):
+        lbl, _ = c
+        # gather each land's <=6 neighbour labels (self-padded) and min
+        neigh = lbl[:, NEIGHBOR_IDX]          # [B, 42, 6]
+        neigh_min = jnp.min(jnp.where(owned[:, :, None] &
+                                      owned[:, NEIGHBOR_IDX],
+                                      neigh, big), axis=-1)
+        new = jnp.where(owned, jnp.minimum(lbl, neigh_min), big)
+        return new, (new != lbl).any()
+
+    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.asarray(True)))
+    return jnp.where(owned, lbl, idx)
 
 
 # ---------------------------------------------------------------------------

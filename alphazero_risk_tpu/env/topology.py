@@ -100,6 +100,14 @@ for _i, _ns in enumerate(NEIGHBORS):
     for _r, _n in enumerate(_ns):
         NEIGHBOR_RANK[_i, _n] = _r
 
+# Padded neighbour-index table [42, MAX_DEGREE]: entry is the land itself
+# where a slot is unused (safe identity for min/max reductions over
+# neighbour-gathered values).
+NEIGHBOR_IDX = np.empty((NUM_LANDS, MAX_DEGREE), dtype=np.int32)
+for _i, _ns in enumerate(NEIGHBORS):
+    for _j in range(MAX_DEGREE):
+        NEIGHBOR_IDX[_i, _j] = _ns[_j] if _j < len(_ns) else _i
+
 # Continents (reference: land_set.cpp:12-30, land_index.h:5-10).
 CONTINENTS = {
     "NORTH_AMERICA": (list(range(0, 9)), 5),
