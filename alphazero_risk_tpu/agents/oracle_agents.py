@@ -9,7 +9,7 @@ trajectories must match bit-exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List
 
 from ..config import (
     Config,

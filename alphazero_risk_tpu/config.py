@@ -15,7 +15,6 @@ Defaults mirror the reference's default build exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,8 +12,7 @@ the replay buffer stores what ``NNInputData`` stores in the reference
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import Config
 from . import actor as A
-from .learner import create_train_state, make_epoch_fn, loss_fn
+from .learner import create_train_state, make_epoch_fn
 from .replay import ReplayBuffer
 
 

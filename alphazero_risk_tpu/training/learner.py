@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..config import Config
 from ..models.resnet import AZNet, build_network

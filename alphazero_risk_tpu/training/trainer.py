@@ -17,8 +17,6 @@ intent of TRAINING_REVERT_MODEL.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
 from typing import Optional, Tuple
 
@@ -28,12 +26,11 @@ import numpy as np
 
 from ..config import Config, STATUS_NOT_ENDED
 from ..env.state import new_game
-from ..agents.driver import mirrored_initial_states, summarize
-from ..models.resnet import build_network
+from ..agents.driver import mirrored_initial_states
 from ..utils.logging import Logs
 from . import actor as A
 from .checkpoints import CheckpointManager
-from .learner import TrainState, create_train_state, make_epoch_fn
+from .learner import create_train_state, make_epoch_fn
 from .replay import ReplayBuffer
 
 

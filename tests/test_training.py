@@ -1,12 +1,9 @@
 """Trainer / replay / learner tests (tiny configs)."""
 
 import os
-import tempfile
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from alphazero_risk_tpu.config import Config
 from alphazero_risk_tpu.training import actor as A
