@@ -210,10 +210,16 @@ class Trainer:
             self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
         return pi_loss, v_loss
 
-    def gate(self) -> bool:
+    def gate(self, revert_on_fail: Optional[bool] = None) -> bool:
         """Arena new-vs-old; accept at >= compare_threshold win share
-        (reference updateIfImprovement, alphazero_trainer.cpp:134-198)."""
+        (reference updateIfImprovement, alphazero_trainer.cpp:134-198).
+
+        ``revert_on_fail=False`` matches train-data mode
+        (alphazero_trainer.cpp:293-317), where a failed gate keeps the
+        training weights and only withholds promotion."""
         cfg = self.cfg
+        if revert_on_fail is None:
+            revert_on_fail = cfg.training_revert_model
         if cfg.compare_games <= 0:
             self._accept()
             return True
@@ -239,7 +245,7 @@ class Trainer:
         improved = new_wins >= (new_wins + old_wins) * cfg.compare_threshold
         if improved:
             self._accept()
-        elif cfg.training_revert_model:
+        elif revert_on_fail:
             self._revert()
         return improved
 
@@ -421,6 +427,6 @@ class Trainer:
                     done += b
             self.replay = fresh
             self.train_epochs(epochs=3)
-            if self.gate() and do_benchmark:
+            if self.gate(revert_on_fail=False) and do_benchmark:
                 self.benchmark()
             self.ckpt.save("temp", self.train_state)

@@ -85,7 +85,7 @@ def main():
         t_train = time.time() - t1
 
         t2 = time.time()
-        improved = t.gate()
+        improved = t.gate(revert_on_fail=False)
         t_gate = time.time() - t2
 
         t3 = time.time()

@@ -1,0 +1,59 @@
+"""Evaluate a trained checkpoint vs ScriptPlayer across MCTS sim counts.
+
+Reproduces the reference's results-short.txt protocol (BASELINE.md):
+win rate vs ScriptPlayer at 32/128/512 simulations, mirrored game pairs,
+argmax move selection.
+
+Usage: python experiments/eval_vs_script.py --ckpt experiments/bootstrap_out/checkpoints --role best --games 256
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="experiments/bootstrap_out/checkpoints")
+    ap.add_argument("--role", default="best")
+    ap.add_argument("--games", type=int, default=256)
+    ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--sims", type=int, nargs="+", default=[32, 128, 512])
+    ap.add_argument("--out", default="experiments/eval_results.jsonl")
+    args = ap.parse_args()
+
+    from alphazero_risk_tpu.config import Config
+    from alphazero_risk_tpu.training import actor as A
+    from alphazero_risk_tpu.training.trainer import Trainer
+    from alphazero_risk_tpu.training.checkpoints import CheckpointManager
+
+    for sims in args.sims:
+        cfg = Config(blocks=args.blocks, mcts_simulations=sims,
+                     max_depth=48, env_batch_per_device=256,
+                     max_game_steps=1000,
+                     actor_chunk_steps=max(16, 2048 // sims))
+        t = Trainer(cfg, seed=123)
+        t.ckpt = CheckpointManager(cfg, args.ckpt)
+        t.train_state = t.ckpt.restore(args.role, t.train_state)
+        t.gen_params = t.train_state.params
+        t.gen_batch_stats = t.train_state.batch_stats
+        t0 = time.time()
+        res = t.play(A.OPP_SCRIPT, args.games)
+        rec = {"sims": sims, "games": args.games,
+               "az_wins": res["p0_wins"], "script_wins": res["p1_wins"],
+               "draws": res["draws"], "unfinished": res["unfinished"],
+               "win_rate": res["p0_wins"] / max(
+                   res["p0_wins"] + res["p1_wins"], 1),
+               "seconds": round(time.time() - t0, 1)}
+        print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
