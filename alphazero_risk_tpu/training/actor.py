@@ -166,12 +166,45 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
     *root* mover is seat 0; each seat's MCTS evaluates every leaf with its
     own network, as in the reference arena where each player group owns its
     session (alphazero_gpu_cluster.cpp:105-160).
+
+    When opponent records are not needed (``record_all=False``), opponent
+    movers are fast-forwarded to their next AZ turn before each search, so
+    no MCTS compute is spent on games an opponent is moving in.
     """
     b = state0.batch_size
+    both_az = az_seats[0] and az_seats[1]
+    fast_forward = not both_az and not record_all
+
+    def _az_turn_or_done(state):
+        mover = state.cur_player
+        az = jnp.where(mover == 0, az_seats[0], az_seats[1])
+        live = rules.game_status(state, cfg) == STATUS_NOT_ENDED
+        return az | ~live
 
     def body(carry, _):
         state, sc_carry, prev_player, key = carry
         key, k_mcts, k_pick, k_dice, k_opp = jax.random.split(key, 5)
+
+        if fast_forward:
+            def ff_cond(c):
+                st, *_ = c
+                return ~_az_turn_or_done(st).all()
+
+            def ff_body(c):
+                st, car, prev, k = c
+                k, ko = jax.random.split(k)
+                u, dice = draw_step_randoms(ko, b)
+                reset = st.cur_player != prev
+                s2, c2, _ = _opponent_step(opponent, st, car, reset, u,
+                                           dice, cfg)
+                moving = ~_az_turn_or_done(st)
+                return (tree_select(moving, s2, st),
+                        tree_select(moving, c2, car),
+                        jnp.where(moving, st.cur_player, prev), k)
+
+            key, kff = jax.random.split(key)
+            state, sc_carry, prev_player, _ = jax.lax.while_loop(
+                ff_cond, ff_body, (state, sc_carry, prev_player, kff))
 
         live = rules.game_status(state, cfg) == STATUS_NOT_ENDED
         mover = state.cur_player

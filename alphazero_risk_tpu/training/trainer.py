@@ -78,7 +78,11 @@ class Trainer:
                 pa, bsa, pb, bsb, s0, c, pr, k, chunk))
         self._versus_chunk = jax.jit(
             lambda p, bs, s0, c, pr, k, opp: self._run_versus(
-                p, bs, s0, c, pr, k, opp, chunk), static_argnums=6)
+                p, bs, s0, c, pr, k, opp, chunk, True), static_argnums=6)
+        # benchmark/eval variant: no sample records, opponent fast-forward
+        self._versus_fast_chunk = jax.jit(
+            lambda p, bs, s0, c, pr, k, opp: self._run_versus(
+                p, bs, s0, c, pr, k, opp, chunk, False), static_argnums=6)
         self._scripted_chunk = jax.jit(
             lambda s0, c, pr, k, kinds: A.run_scripted_episodes(
                 s0, k, cfg, chunk, kinds, carry_in=c, prev_in=pr),
@@ -141,12 +145,12 @@ class Trainer:
                               carry_in=carry, prev_in=prev)
 
     def _run_versus(self, params, bstats, state0, carry, prev, key,
-                    opponent, num_steps):
+                    opponent, num_steps, record):
         efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
         return A.run_episodes(efn, state0, key, self.cfg, num_steps,
                               opponent=opponent, az_seats=(True, False),
-                              sample_moves=False, carry_in=carry,
-                              prev_in=prev)
+                              sample_moves=False, record_all=record,
+                              carry_in=carry, prev_in=prev)
 
     def _episode_loop(self, chunk_call, state0) -> A.ActorOutput:
         """Drive chunked episodes to completion (or the step cap)."""
@@ -271,7 +275,7 @@ class Trainer:
             b += b % 2
             state0 = self._initial_states(b)
             out = self._episode_loop(
-                lambda st, c, pr, k: self._versus_chunk(
+                lambda st, c, pr, k: self._versus_fast_chunk(
                     self.gen_params, self.gen_batch_stats, st, c, pr, k,
                     opp), state0)
             status = np.asarray(out.status)
@@ -348,7 +352,7 @@ class Trainer:
             b += b % 2
             state0 = self._initial_states(b)
             out = self._episode_loop(
-                lambda st, c, pr, k: self._versus_chunk(
+                lambda st, c, pr, k: self._versus_fast_chunk(
                     self.gen_params, self.gen_batch_stats, st, c, pr, k,
                     opponent), state0)
             status = np.asarray(out.status)
