@@ -283,6 +283,20 @@ def search(root: GameState, key: jax.Array, cfg: Config,
     """Run ``cfg.mcts_simulations`` sims for every game in the batch."""
     tree = init_tree(root, cfg, eval_fn)
 
+    if cfg.use_dirichlet_noise:
+        # True sampled Dirichlet at the root (AlphaZero-style), as an
+        # alternative to the reference's constant blend applied at every
+        # node (alphazero_mcts.cpp:78-86, which _puct_select retains).
+        key, kd = jax.random.split(key)
+        legal0 = tree.legal[:, 0]
+        alpha = jnp.where(legal0, 0.3, 1e-6)
+        noise = jax.random.dirichlet(kd, alpha)
+        noise = jnp.where(legal0, noise, 0.0)
+        noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-9)
+        prior0 = ((1.0 - cfg.noise_eps) * tree.prior[:, 0]
+                  + cfg.noise_eps * noise)
+        tree = tree.replace(prior=tree.prior.at[:, 0].set(prior0))
+
     def body(i, carry):
         tree, key = carry
         key, sub = jax.random.split(key)

@@ -58,12 +58,14 @@ class ReplayBuffer:
             self.data[k] = np.concatenate([self.data[k], arr])
         return n
 
-    def extend_from_actor(self, samples, status) -> int:
+    def extend_from_actor(self, samples, status, final_round=None) -> int:
         """Append an actor's stacked [T, B, ...] SampleBatch (jax arrays)
         after value backfill; drops invalid records."""
         from .actor import backfill_values
 
-        filled = backfill_values(samples, status)
+        filled = backfill_values(
+            samples, status, final_round=final_round,
+            round_weighted=self.cfg.round_weighted_value)
         valid = np.asarray(filled.valid).reshape(-1)
         flat = {}
         for k in self.data:

@@ -192,7 +192,9 @@ class Trainer:
                 lambda st, c, pr, k: self._selfplay_chunk(
                     self.gen_params, self.gen_batch_stats, st, c, pr, k),
                 state0)
-            added += self.replay.extend_from_actor(out.samples, out.status)
+            added += self.replay.extend_from_actor(
+                out.samples, out.status,
+                final_round=jnp.asarray(out.state.round))
             done_games += b
         self.logs.event("selfplay", games=done_games, samples=added,
                         buffer=len(self.replay))
@@ -236,7 +238,9 @@ class Trainer:
                 self.gen_params, self.gen_batch_stats, st, c, pr, k),
             state0)
         if cfg.include_compare_games_train_samples:
-            self.replay.extend_from_actor(out.samples, out.status)
+            self.replay.extend_from_actor(
+                out.samples, out.status,
+                final_round=jnp.asarray(out.state.round))
         status = np.asarray(out.status)
         started = np.asarray(state0.cur_player)
         new_wins = int((status == 0).sum())
@@ -333,7 +337,9 @@ class Trainer:
                         self.train_state.params,
                         self.train_state.batch_stats, st, c, pr, k,
                         A.OPP_SCRIPT), state0)
-                self.replay.extend_from_actor(out.samples, out.status)
+                self.replay.extend_from_actor(
+                    out.samples, out.status,
+                    final_round=jnp.asarray(out.state.round))
                 done += b
             self.replay.trim()
             self.train_epochs()
@@ -427,7 +433,9 @@ class Trainer:
                     out = self._episode_loop(
                         lambda st, c, pr, k: self._scripted_chunk(
                             st, c, pr, k, kinds), state0)
-                    fresh.extend_from_actor(out.samples, out.status)
+                    fresh.extend_from_actor(
+                        out.samples, out.status,
+                        final_round=jnp.asarray(out.state.round))
                     done += b
             self.replay = fresh
             self.train_epochs(epochs=3)
