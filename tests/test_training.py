@@ -100,3 +100,15 @@ def test_learner_loss_decreases(tmp_path):
     t.replay.extend(fake_samples(256, TINY))
     losses = [t.train_epochs(epochs=1)[0] for _ in range(4)]
     assert losses[-1] < losses[0], losses
+
+
+def test_play_fast_path(tmp_path):
+    """Benchmark/play path (opponent fast-forward, no records) end-to-end."""
+    os.chdir(tmp_path)
+    from alphazero_risk_tpu.training import actor as A
+    t = Trainer(TINY.replace(max_game_steps=900, actor_chunk_steps=64),
+                seed=3)
+    res = t.play(A.OPP_RANDOM, 4)
+    assert res["games"] == 4
+    assert res["unfinished"] == 0
+    assert res["p0_wins"] + res["p1_wins"] + res["draws"] == 4
