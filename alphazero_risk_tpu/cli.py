@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mode", default="play",
                    choices=["play", "train", "train-script", "train-data",
                             "analysis", "bench"])
+    p.add_argument("--p1", default="az", choices=["az", "sp", "rp"],
+                   help="player 1 in play mode (reference --p1)")
     p.add_argument("--p2", default="sp", choices=["sp", "rp", "az"],
                    help="opponent in play mode (reference --p2)")
     p.add_argument("--c1", default="latest",
@@ -116,6 +118,43 @@ def main(argv=None):
             f.write(f"{field.name}={getattr(cfg, field.name)}\n")
 
     from .training import actor as A
+
+    if args.mode == "play" and args.p1 != "az":
+        # heuristic-vs-heuristic matches run on the native CPU engine
+        # (no network involved; reference executePlay with sp/rp players)
+        if args.p2 == "az":
+            raise SystemExit("put the az player in --p1")
+        from .native import NativeEngine, available
+        if available():
+            eng = NativeEngine(cfg)
+            res, rounds, steps = eng.play_games(args.p1, args.p2,
+                                                args.games, args.seed)
+            import numpy as np
+            print(json.dumps({
+                "mode": "play", "p1": args.p1, "p2": args.p2,
+                "engine": "native",
+                "games": int(res.shape[0]),
+                "p0_wins": int((res == 0).sum()),
+                "p1_wins": int((res == 1).sum()),
+                "draws": int((res == -2).sum()),
+                "micro_steps": steps,
+            }))
+        else:
+            import jax
+            from .agents import (AGENT_RANDOM, AGENT_SCRIPT,
+                                 mirrored_initial_states, play_match,
+                                 summarize)
+            kinds = {"sp": AGENT_SCRIPT, "rp": AGENT_RANDOM}
+            state0 = mirrored_initial_states(
+                jax.random.PRNGKey(args.seed), args.games + args.games % 2)
+            resm = play_match(jax.random.PRNGKey(args.seed + 1), state0,
+                              kinds[args.p1], kinds[args.p2], cfg,
+                              cfg.max_game_steps)
+            print(json.dumps({"mode": "play", "p1": args.p1,
+                              "p2": args.p2, "engine": "jax",
+                              **summarize(resm)}))
+        return
+
     from .training.trainer import Trainer
 
     trainer = Trainer(cfg, seed=args.seed)

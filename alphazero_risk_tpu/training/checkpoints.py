@@ -37,6 +37,9 @@ class CheckpointManager:
         alphazero_nn.cpp:197-202)."""
         path = self._path(role)
         if not os.path.exists(path):
+            import sys
+            print(f"[checkpoints] no '{role}' checkpoint at {path}; "
+                  f"using fresh weights", file=sys.stderr)
             return target
         return self._ckpt.restore(path, target)
 
