@@ -42,6 +42,9 @@ class Config:
     max_nodes: int = 0                # 0 -> derived from mcts_simulations
     max_depth: int = 48               # max in-tree path length per simulation
     use_dirichlet_noise: bool = False  # true Dirichlet at root (ref uses blend)
+    tree_reuse: bool = False          # carry the chosen subtree across moves
+    #   (self-play path; reference trimNodes semantics,
+    #    alphazero_mcts.cpp:229-245)
 
     # ---- Network (reference: python/src/build_graph.py:30-35) ----
     blocks: int = 20
@@ -100,10 +103,14 @@ class Config:
     @property
     def num_nodes(self) -> int:
         """Node budget for the array MCTS tree: each simulation expands at
-        most one node, +1 for the root (+1 slack)."""
+        most one node, +1 for the root (+1 slack); with tree_reuse the
+        carried subtree can hold up to another simulations' worth."""
         if self.max_nodes:
             return self.max_nodes
-        return self.mcts_simulations + 2
+        budget = self.mcts_simulations + 2
+        if self.tree_reuse:
+            budget += self.mcts_simulations
+        return budget
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

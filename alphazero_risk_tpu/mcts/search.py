@@ -56,12 +56,14 @@ class Tree:
     terminal: jax.Array    # [B, N] bool
     value: jax.Array       # [B, N] f32 — leaf value, node mover's view
     player: jax.Array      # [B, N] i32
+    parent: jax.Array      # [B, N] i32 (-1 = root/unused)
     legal: jax.Array       # [B, N, 43] bool
     prior: jax.Array       # [B, N, 43] f32
     visit: jax.Array       # [B, N, 43] i32
     wsum: jax.Array        # [B, N, 43] f32
     children: jax.Array    # [B, N, 43, 3] i32 (-1 = unexpanded)
     next_free: jax.Array   # [B] i32
+    root: jax.Array        # [B] i32 — current root node index
 
 
 class SearchResult(NamedTuple):
@@ -119,8 +121,10 @@ def init_tree(root: GameState, cfg: Config, eval_fn: EvalFn) -> Tree:
             probs0),
         visit=jnp.zeros((b, n, NUM_ACTIONS), jnp.int32),
         wsum=jnp.zeros((b, n, NUM_ACTIONS), jnp.float32),
+        parent=jnp.full((b, n), -1, jnp.int32),
         children=jnp.full((b, n, NUM_ACTIONS, 3), -1, jnp.int32),
         next_free=jnp.ones((b,), jnp.int32),
+        root=jnp.zeros((b,), jnp.int32),
     )
     return tree
 
@@ -199,9 +203,10 @@ def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
         return (new_cur, pn, pa, pp, new_depth, new_done,
                 exp_n, exp_a, exp_o, k)
 
-    root_done = tree.terminal[:, 0]
+    rows_root = tree.root
+    root_done = tree.terminal[rows, rows_root]
     key, kdesc = jax.random.split(key)
-    init = (jnp.zeros((b,), jnp.int32), path_nodes, path_actions,
+    init = (tree.root, path_nodes, path_actions,
             path_player, jnp.zeros((b,), jnp.int32), root_done,
             jnp.full((b,), -1, jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32), kdesc)
@@ -234,6 +239,9 @@ def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
         player=tree.player.at[rows, idx].set(
             jnp.where(expanding, child_state.cur_player,
                       tree.player[rows, idx])),
+        parent=tree.parent.at[rows, idx].set(
+            jnp.where(expanding, jnp.maximum(exp_n, 0),
+                      tree.parent[rows, idx])),
         legal=tree.legal.at[rows, idx].set(
             jnp.where(expanding[:, None], legal_c,
                       tree.legal[rows, idx])),
@@ -288,14 +296,16 @@ def search(root: GameState, key: jax.Array, cfg: Config,
         # alternative to the reference's constant blend applied at every
         # node (alphazero_mcts.cpp:78-86, which _puct_select retains).
         key, kd = jax.random.split(key)
-        legal0 = tree.legal[:, 0]
+        rows = jnp.arange(tree.root.shape[0])
+        legal0 = tree.legal[rows, tree.root]
         alpha = jnp.where(legal0, 0.3, 1e-6)
         noise = jax.random.dirichlet(kd, alpha)
         noise = jnp.where(legal0, noise, 0.0)
         noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-9)
-        prior0 = ((1.0 - cfg.noise_eps) * tree.prior[:, 0]
+        prior0 = ((1.0 - cfg.noise_eps) * tree.prior[rows, tree.root]
                   + cfg.noise_eps * noise)
-        tree = tree.replace(prior=tree.prior.at[:, 0].set(prior0))
+        tree = tree.replace(
+            prior=tree.prior.at[rows, tree.root].set(prior0))
 
     def body(i, carry):
         tree, key = carry
@@ -303,11 +313,128 @@ def search(root: GameState, key: jax.Array, cfg: Config,
         return simulate_once(tree, sub, cfg, eval_fn), key
 
     tree, _ = jax.lax.fori_loop(0, cfg.mcts_simulations, body, (tree, key))
-    counts = tree.visit[:, 0, :]
+    rows = jnp.arange(tree.root.shape[0])
+    counts = tree.visit[rows, tree.root]
     pi = counts.astype(jnp.float32)
     pi = pi / jnp.maximum(pi.sum(-1, keepdims=True), 1e-9)
     return SearchResult(visit_counts=counts, pi=pi,
-                        root_value=tree.value[:, 0], tree=tree)
+                        root_value=tree.value[rows, tree.root], tree=tree)
+
+
+def reroot(tree: Tree, action: jax.Array, outcome: jax.Array,
+           cfg: Config):
+    """Advance the tree root through the edge actually played.
+
+    Array-MCTS equivalent of the reference's ``trimNodes`` tree reuse
+    (alphazero_mcts.cpp:229-245): the chosen child's subtree — stats,
+    priors, leaf values — is compacted to the front of the node arrays and
+    becomes the next search's starting tree; everything else is dropped.
+
+    Returns (tree, reused[B]) — games whose played edge has no expanded
+    child get ``reused=False`` and must be freshly initialized by the next
+    ``search`` call.
+    """
+    b, n = tree.player.shape
+    rows = jnp.arange(b)
+
+    c = tree.children[rows, tree.root, action, outcome]
+    has_child = c >= 0
+    c_safe = jnp.maximum(c, 0)
+
+    # reachable-from-c via parent-pointer doubling (subtree membership)
+    idx = jnp.arange(n)[None, :]
+    reach = idx == c_safe[:, None]
+    anc = jnp.where(tree.parent >= 0, tree.parent, idx)
+    for _ in range(7):  # 2^7 = 128 >= max depth
+        reach = reach | jnp.take_along_axis(reach, anc, axis=1)
+        anc = jnp.take_along_axis(anc, anc, axis=1)
+    reach = reach & tree.expanded & has_child[:, None]
+
+    # stable compaction: kept nodes first, in original order
+    order = jnp.argsort(~reach, axis=1, stable=True)      # [B, N] old ids
+    new_id_of_old = jnp.argsort(order, axis=1)            # inverse perm
+    n_keep = reach.sum(-1)
+    keep_pos = idx < n_keep[:, None]
+
+    def gather_nodes(x):
+        g = jnp.take_along_axis(
+            x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+        return g
+
+    # per-node arrays
+    new_states = jax.tree.map(gather_nodes, tree.states)
+    new_expanded = gather_nodes(tree.expanded) & keep_pos
+    new_terminal = gather_nodes(tree.terminal) & keep_pos
+    new_value = gather_nodes(tree.value)
+    new_player = gather_nodes(tree.player)
+    new_legal = gather_nodes(tree.legal) & keep_pos[:, :, None]
+    new_prior = jnp.where(keep_pos[:, :, None], gather_nodes(tree.prior),
+                          0.0)
+    new_visit = jnp.where(keep_pos[:, :, None], gather_nodes(tree.visit), 0)
+    new_wsum = jnp.where(keep_pos[:, :, None], gather_nodes(tree.wsum),
+                         0.0)
+
+    # remap parent/children ids through the permutation
+    def remap_ids(ids):
+        valid = ids >= 0
+        mapped = jnp.take_along_axis(
+            new_id_of_old,
+            jnp.maximum(ids, 0).reshape(b, -1), axis=1).reshape(ids.shape)
+        # drop links to nodes that were not kept
+        kept_target = jnp.take_along_axis(
+            reach, jnp.maximum(ids, 0).reshape(b, -1), axis=1
+        ).reshape(ids.shape)
+        return jnp.where(valid & kept_target, mapped, -1)
+
+    new_parent = remap_ids(gather_nodes(tree.parent))
+    new_parent = jnp.where(keep_pos, new_parent, -1)
+    new_children = remap_ids(gather_nodes(tree.children))
+    new_children = jnp.where(keep_pos[:, :, None, None], new_children, -1)
+
+    new_root = jnp.take_along_axis(new_id_of_old, c_safe[:, None],
+                                   axis=1)[:, 0]
+    new_root = jnp.where(has_child, new_root, 0)
+    # the new root has no parent
+    new_parent = new_parent.at[rows, new_root].set(-1)
+
+    out = Tree(
+        states=new_states, expanded=new_expanded, terminal=new_terminal,
+        value=new_value, player=new_player, parent=new_parent,
+        legal=new_legal, prior=new_prior, visit=new_visit, wsum=new_wsum,
+        children=new_children, next_free=n_keep.astype(jnp.int32),
+        root=new_root.astype(jnp.int32))
+    return out, has_child
+
+
+def search_with_reuse(root_state: GameState, key: jax.Array, cfg: Config,
+                      eval_fn: EvalFn, prev_tree: Tree,
+                      reused: jax.Array) -> SearchResult:
+    """``search`` starting from a re-rooted tree; games with ``~reused``
+    (or whose carried root state went stale) fall back to a fresh tree."""
+    fresh = init_tree(root_state, cfg, eval_fn)
+    rows = jnp.arange(root_state.batch_size)
+    # sanity: carried root must be the actual state (cheap army/owner check)
+    same = reused
+    carried = _gather_state(prev_tree.states, prev_tree.root)
+    same = same & (carried.army == root_state.army).all(-1)
+    same = same & (carried.owner == root_state.owner).all(-1)
+    same = same & (carried.phase == root_state.phase)
+    same = same & (carried.reinforcements == root_state.reinforcements)
+    same = same & (carried.cur_player == root_state.cur_player)
+    same = same & (carried.round == root_state.round)
+    tree = tree_select(same, prev_tree, fresh)
+
+    def body(i, carry):
+        tree, key = carry
+        key, sub = jax.random.split(key)
+        return simulate_once(tree, sub, cfg, eval_fn), key
+
+    tree, _ = jax.lax.fori_loop(0, cfg.mcts_simulations, body, (tree, key))
+    counts = tree.visit[rows, tree.root]
+    pi = counts.astype(jnp.float32)
+    pi = pi / jnp.maximum(pi.sum(-1, keepdims=True), 1e-9)
+    return SearchResult(visit_counts=counts, pi=pi,
+                        root_value=tree.value[rows, tree.root], tree=tree)
 
 
 def pick_move(result: SearchResult, state: GameState, key: jax.Array,

@@ -174,6 +174,10 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
     b = state0.batch_size
     both_az = az_seats[0] and az_seats[1]
     fast_forward = not both_az and not record_all
+    # tree reuse across moves: self-play path only (single net, single
+    # mover stream); trees are carried within one scan and refreshed at
+    # chunk boundaries.
+    reuse = cfg.tree_reuse and both_az and not paired_eval
 
     def _az_turn_or_done(state):
         mover = state.cur_player
@@ -182,7 +186,10 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
         return az | ~live
 
     def body(carry, _):
-        state, sc_carry, prev_player, key = carry
+        if reuse:
+            state, sc_carry, prev_player, key, tree_prev, reused_prev = carry
+        else:
+            state, sc_carry, prev_player, key = carry
         key, k_mcts, k_pick, k_dice, k_opp = jax.random.split(key, 5)
 
         if fast_forward:
@@ -216,9 +223,33 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
             efn = lambda s, m: eval_fn(s, m, use_a)  # noqa: E731
         else:
             efn = eval_fn
-        res = mcts.search(state, k_mcts, cfg, efn)
+        if reuse:
+            res = mcts.search_with_reuse(state, k_mcts, cfg, efn,
+                                         tree_prev, reused_prev)
+        else:
+            res = mcts.search(state, k_mcts, cfg, efn)
         action = mcts.pick_move(res, state, k_pick, cfg, sample_moves)
-        s_az = rules.step_key(state, action, k_dice, cfg)
+        if reuse:
+            # step with explicit dice so the realized battle outcome can
+            # re-root the tree (reference trimNodes reuse,
+            # alphazero_mcts.cpp:229-245)
+            k_dice, k_card = jax.random.split(k_dice)
+            dice = rules.roll_dice(k_dice, b)
+            u_card = (None if cfg.simple_cards else
+                      jax.random.uniform(k_card, (b,)))
+            masks_ = rules.player_masks(state, cfg)
+            li = jnp.clip(action, 0, 42 - 1)
+            frm = rules.best_attack_from(state, li, masks_.owned_with_army)
+            a0 = state.army[jnp.arange(b), frm]
+            d0 = state.army[jnp.arange(b), li]
+            a1, _, _ = rules.battle(a0, d0, dice)
+            is_battle = (state.phase == 3) & (action != 42)
+            o_star = jnp.where(is_battle, a0 - a1, 0).astype(jnp.int32)
+            s_az = rules.step(state, action, dice, cfg, u_card)
+            new_tree, new_reused = mcts.reroot(res.tree, action, o_star,
+                                               cfg)
+        else:
+            s_az = rules.step_key(state, action, k_dice, cfg)
 
         # --- opponent path ---
         reset = state.cur_player != prev_player
@@ -245,14 +276,25 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
             rec_valid = live & az_mask
         rec = _record(state, pi, rec_valid)
 
+        if reuse:
+            return (nstate, n_carry, mover, key, new_tree, new_reused), rec
         return (nstate, n_carry, mover, key), rec
 
     init = (state0,
             script_agent.init_carry(b) if carry_in is None else carry_in,
             jnp.full((b,), -1, jnp.int32) if prev_in is None else prev_in,
             key)
-    (state, carry, prev, _), samples = jax.lax.scan(body, init, None,
-                                                    length=num_steps)
+    if reuse:
+        # fresh (empty) tree to start the chunk; first step falls back to
+        # fresh init inside search_with_reuse via reused=False
+        efn0 = eval_fn
+        tree0 = mcts.init_tree(state0, cfg, efn0)
+        init = init + (tree0, jnp.zeros((b,), bool))
+        (state, carry, prev, _, _, _), samples = jax.lax.scan(
+            body, init, None, length=num_steps)
+    else:
+        (state, carry, prev, _), samples = jax.lax.scan(body, init, None,
+                                                        length=num_steps)
     return ActorOutput(state=state, samples=samples,
                        status=rules.game_status(state, cfg),
                        carry=carry, prev_player=prev)

@@ -80,3 +80,63 @@ def test_backfill_values():
     pis = np.asarray(out.samples.policy)
     valid = np.asarray(out.samples.valid)
     assert np.allclose(pis[valid].sum(-1), 1.0)
+
+
+def test_tree_reuse_reroot():
+    cfg = Config(mcts_simulations=12, max_depth=20, tree_reuse=True)
+    root = new_game(jax.random.PRNGKey(2), 3)
+    res = jax.jit(lambda r, k: M.search(r, k, cfg, heuristic_eval))(
+        root, jax.random.PRNGKey(4))
+    tree = res.tree
+    b = 3
+    rows = np.arange(b)
+    children = np.asarray(tree.children)
+    roots = np.asarray(tree.root)
+
+    # pick a played edge that has an expanded child for each game
+    actions = np.zeros(b, np.int32)
+    outcomes = np.zeros(b, np.int32)
+    for i in range(b):
+        a, o = np.argwhere(children[i, roots[i]] >= 0)[0]
+        actions[i], outcomes[i] = a, o
+    old_child = children[rows, roots, actions, outcomes]
+    old_visit = np.asarray(tree.visit)[rows, old_child]
+    old_prior = np.asarray(tree.prior)[rows, old_child]
+
+    new_tree, reused = jax.jit(
+        lambda t, a, o: M.reroot(t, a, o, cfg))(
+        tree, jnp.asarray(actions), jnp.asarray(outcomes))
+    assert np.asarray(reused).all()
+    nr = np.asarray(new_tree.root)
+    nf = np.asarray(new_tree.next_free)
+    assert (nr < nf).all()
+    # stats carried over to the new root
+    assert (np.asarray(new_tree.visit)[rows, nr] == old_visit).all()
+    assert np.allclose(np.asarray(new_tree.prior)[rows, nr], old_prior)
+    assert (np.asarray(new_tree.parent)[rows, nr] == -1).all()
+    # all child links point inside the kept region
+    nch = np.asarray(new_tree.children)
+    for i in range(b):
+        kept = nch[i, :nf[i]]
+        assert (kept[kept >= 0] < nf[i]).all()
+        assert (nch[i, nf[i]:] == -1).all()
+    # carried root state must equal the played child's state
+    for field in ("owner", "army", "phase", "cur_player"):
+        old = np.asarray(getattr(tree.states, field))[rows, old_child]
+        new = np.asarray(getattr(new_tree.states, field))[rows, nr]
+        assert (old == new).all(), field
+
+
+def test_selfplay_with_reuse_runs_and_is_legal():
+    from alphazero_risk_tpu.training import actor as A
+    cfg = Config(mcts_simulations=8, max_depth=12, tree_reuse=True)
+    state0 = new_game(jax.random.PRNGKey(5), 4)
+    out = jax.jit(lambda s, k: A.run_episodes(
+        heuristic_eval, s, k, cfg, 60, sample_moves=True))(
+        state0, jax.random.PRNGKey(6))
+    valid = np.asarray(out.samples.valid)
+    pi = np.asarray(out.samples.policy)
+    assert valid.sum() >= 200
+    assert np.allclose(pi[valid].sum(-1), 1.0)
+    from alphazero_risk_tpu.env.checks import validate
+    validate(out.state, cfg)
