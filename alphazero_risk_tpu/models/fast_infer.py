@@ -24,9 +24,8 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..config import Config, NUM_ACTIONS
+from ..config import Config
 from ..ops.fused_trunk import fused_trunk_bf16, fused_trunk_int8
 
 BOARD = 42
@@ -128,12 +127,15 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array, *,
                  int8: bool = False, tile_b: int = 32):
     """Forward pass on folded params.  x [B,7,6,F] -> (logits, value)."""
     h = _stem(folded, x)
+    # B is static under jit; shrink the tile to a divisor of B so any batch
+    # size works (pallas batch tiles must divide the batch).
+    tb = pick_tile_b(x.shape[0], tile_b)
     if int8:
         h = fused_trunk_int8(h, folded["trunk_wq"], folded["trunk_ws"],
-                             folded["trunk_b"], tile_b=tile_b)
+                             folded["trunk_b"], tile_b=tb)
     else:
         h = fused_trunk_bf16(h, folded["trunk_w"], folded["trunk_b"],
-                             tile_b=tile_b)
+                             tile_b=tb)
     return _heads(folded, h)
 
 
@@ -151,6 +153,35 @@ def make_fast_eval_fn(cfg: Config, *, int8: bool = False,
         return probs, value
 
     return eval_fn
+
+
+def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
+                             tile_b: int = 32):
+    """Two-model eval_fn over folded params for gating arenas: each game's
+    leaf is scored by the root mover's own network (drop-in for
+    ``training.actor.make_paired_eval_fn``)."""
+    from ..env.featurize import featurize
+
+    def eval_fn(folded_a, folded_b, use_a, state, legal):
+        feats = featurize(state, cfg)
+        la, va = apply_folded(folded_a, feats, int8=int8, tile_b=tile_b)
+        lb, vb = apply_folded(folded_b, feats, int8=int8, tile_b=tile_b)
+        logits = jnp.where(use_a[:, None], la, lb)
+        value = jnp.where(use_a, va, vb)
+        probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
+        return probs, value
+
+    return eval_fn
+
+
+def fold_for_inference(variables: Dict[str, Any], cfg: Config, *,
+                       int8: bool = False) -> Dict[str, Any]:
+    """One-call fold (+ optional int8 trunk quantization) of live training
+    variables into the inference pytree actors consume."""
+    folded = fold_params(variables, cfg)
+    if int8:
+        folded = quantize_trunk(folded)
+    return folded
 
 
 def pick_tile_b(batch: int, preferred: int = 32) -> int:

@@ -20,14 +20,15 @@ import jax.numpy as jnp
 
 
 def _sync(out):
-    """Force completion by fetching one element to the host.
+    """Force completion by fetching one element of EVERY leaf to the host.
 
     ``jax.block_until_ready`` can return before the computation finishes on
     tunneled PJRT backends (observed on axon: 0.07ms "latency" for a 20+ms
-    program); a host read of any output element is a reliable barrier.
+    program); a host read of an output element is a reliable barrier.  Leaves
+    may come from separate dispatches, so each one is read.
     """
-    leaf = jax.tree.leaves(out)[0]
-    return float(leaf.ravel()[0].astype(jnp.float32))
+    return sum(float(leaf.ravel()[0].astype(jnp.float32))
+               for leaf in jax.tree.leaves(out))
 
 
 def _timeit(fn, *args, reps=3):
