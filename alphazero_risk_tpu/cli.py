@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit-attack", type=int, default=None)
     p.add_argument("--mirror-games", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fast", action="store_true",
+                   help="BN-folded pallas inference for actors/arenas")
+    p.add_argument("--int8", action="store_true",
+                   help="with --fast: int8-quantized trunk")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (debug)")
     return p
@@ -94,6 +98,10 @@ def config_from_args(args) -> Config:
         if v is not None:
             over[field] = bool(v)
     over["compare_games"] = args.games
+    if getattr(args, "fast", False):
+        over["fast_infer"] = True
+    if getattr(args, "int8", False):
+        over["fast_infer_int8"] = True
     return cfg.replace(**over)
 
 

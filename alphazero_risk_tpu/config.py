@@ -71,6 +71,11 @@ class Config:
     data_games_sr: int = 5000
     data_train_loops: int = 1000
 
+    # ---- Inference fast path (TPU-native; no reference analog) ----
+    fast_infer: bool = False          # actors/arenas run the BN-folded
+    #   pallas trunk (models/fast_infer.py) instead of the Flax forward
+    fast_infer_int8: bool = False     # quantize the folded trunk to int8
+
     # ---- Vectorized execution (TPU-native; replaces thread counts
     # NUMBER_OF_GPUS / NUMBER_OF_CONCURENT_GAMES_PER_GPU / THREADS_PER_MCTS,
     # reference src/settings.h:41-44) ----

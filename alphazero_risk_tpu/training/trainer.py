@@ -27,6 +27,8 @@ import numpy as np
 from ..config import Config, STATUS_NOT_ENDED
 from ..env.state import new_game
 from ..agents.driver import mirrored_initial_states
+from ..models.fast_infer import (fold_for_inference, make_fast_eval_fn,
+                                 make_fast_paired_eval_fn)
 from ..utils.logging import Logs
 from . import actor as A
 from .checkpoints import CheckpointManager
@@ -87,6 +89,95 @@ class Trainer:
             lambda s0, c, pr, k, kinds: A.run_scripted_episodes(
                 s0, k, cfg, chunk, kinds, carry_in=c, prev_in=pr),
             static_argnums=4)
+
+        # Fast inference path: actors/arenas only ever run frozen weights,
+        # so BatchNorm is folded once per promotion and the trunk runs in
+        # the VMEM-resident pallas kernel (models/fast_infer.py).  The
+        # learner always trains the plain Flax net.
+        if cfg.fast_infer:
+            fast = make_fast_eval_fn(cfg, int8=cfg.fast_infer_int8)
+            fastp = make_fast_paired_eval_fn(cfg, int8=cfg.fast_infer_int8)
+            self._selfplay_fast_chunk = jax.jit(
+                lambda f, s0, c, pr, k: A.run_episodes(
+                    lambda s, m: fast(f, s, m), s0, k, cfg, chunk,
+                    sample_moves=True, carry_in=c, prev_in=pr))
+            self._arena_fast_chunk = jax.jit(
+                lambda fa, fb, s0, c, pr, k: A.run_episodes(
+                    lambda s, m, use_a: fastp(fa, fb, use_a, s, m),
+                    s0, k, cfg, chunk, sample_moves=False,
+                    paired_eval=True, carry_in=c, prev_in=pr))
+            self._versus_fold_chunk = jax.jit(
+                lambda f, s0, c, pr, k, opp, record: A.run_episodes(
+                    lambda s, m: fast(f, s, m), s0, k, cfg, chunk,
+                    opponent=opp, az_seats=(True, False),
+                    sample_moves=False, record_all=record,
+                    carry_in=c, prev_in=pr), static_argnums=(5, 6))
+
+    # ------------------------------------------------------------------
+    # Actor weights: last accepted params.  Setting either component drops
+    # the cached BN-folded inference pytree (re-folded lazily on first use).
+    @property
+    def gen_params(self):
+        return self._gen_params
+
+    @gen_params.setter
+    def gen_params(self, v):
+        self._gen_params = v
+        self._folded_gen = None
+
+    @property
+    def gen_batch_stats(self):
+        return self._gen_batch_stats
+
+    @gen_batch_stats.setter
+    def gen_batch_stats(self, v):
+        self._gen_batch_stats = v
+        self._folded_gen = None
+
+    def _fold(self, params, bstats):
+        return fold_for_inference(
+            {"params": params, "batch_stats": bstats}, self.cfg,
+            int8=self.cfg.fast_infer_int8)
+
+    def _gen_folded(self):
+        if self._folded_gen is None:
+            self._folded_gen = self._fold(self.gen_params,
+                                          self.gen_batch_stats)
+        return self._folded_gen
+
+    def _folded_of(self, params, bstats):
+        """Folded pytree for arbitrary weights, reusing the actor cache when
+        the weights ARE the actor weights."""
+        if params is self._gen_params and bstats is self._gen_batch_stats:
+            return self._gen_folded()
+        return self._fold(params, bstats)
+
+    # ---- chunk-callable builders: one branch point between the Flax and
+    # the folded-pallas inference paths per episode kind ----
+    def _selfplay_call(self):
+        if self.cfg.fast_infer:
+            f = self._gen_folded()
+            return lambda st, c, pr, k: self._selfplay_fast_chunk(
+                f, st, c, pr, k)
+        return lambda st, c, pr, k: self._selfplay_chunk(
+            self.gen_params, self.gen_batch_stats, st, c, pr, k)
+
+    def _arena_call(self, pa, bsa, pb, bsb):
+        if self.cfg.fast_infer:
+            fa = self._folded_of(pa, bsa)
+            fb = self._folded_of(pb, bsb)
+            return lambda st, c, pr, k: self._arena_fast_chunk(
+                fa, fb, st, c, pr, k)
+        return lambda st, c, pr, k: self._arena_chunk(
+            pa, bsa, pb, bsb, st, c, pr, k)
+
+    def _versus_call(self, params, bstats, opp, record):
+        if self.cfg.fast_infer:
+            f = self._folded_of(params, bstats)
+            return lambda st, c, pr, k: self._versus_fold_chunk(
+                f, st, c, pr, k, opp, record)
+        chunk = self._versus_chunk if record else self._versus_fast_chunk
+        return lambda st, c, pr, k: chunk(params, bstats, st, c, pr, k, opp)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -188,10 +279,7 @@ class Trainer:
             b = min(per_wave, games - done_games)
             b += b % 2
             state0 = self._initial_states(b)
-            out = self._episode_loop(
-                lambda st, c, pr, k: self._selfplay_chunk(
-                    self.gen_params, self.gen_batch_stats, st, c, pr, k),
-                state0)
+            out = self._episode_loop(self._selfplay_call(), state0)
             added += self.replay.extend_from_actor(
                 out.samples, out.status,
                 final_round=jnp.asarray(out.state.round))
@@ -233,9 +321,9 @@ class Trainer:
         b += b % 2
         state0 = self._initial_states(b)
         out = self._episode_loop(
-            lambda st, c, pr, k: self._arena_chunk(
+            self._arena_call(
                 self.train_state.params, self.train_state.batch_stats,
-                self.gen_params, self.gen_batch_stats, st, c, pr, k),
+                self.gen_params, self.gen_batch_stats),
             state0)
         if cfg.include_compare_games_train_samples:
             self.replay.extend_from_actor(
@@ -279,9 +367,8 @@ class Trainer:
             b += b % 2
             state0 = self._initial_states(b)
             out = self._episode_loop(
-                lambda st, c, pr, k: self._versus_fast_chunk(
-                    self.gen_params, self.gen_batch_stats, st, c, pr, k,
-                    opp), state0)
+                self._versus_call(self.gen_params, self.gen_batch_stats,
+                                  opp, record=False), state0)
             status = np.asarray(out.status)
             results.append({
                 "games": int(status.shape[0]),
@@ -333,10 +420,9 @@ class Trainer:
                 b += b % 2
                 state0 = self._initial_states(b)
                 out = self._episode_loop(
-                    lambda st, c, pr, k: self._versus_chunk(
-                        self.train_state.params,
-                        self.train_state.batch_stats, st, c, pr, k,
-                        A.OPP_SCRIPT), state0)
+                    self._versus_call(self.train_state.params,
+                                      self.train_state.batch_stats,
+                                      A.OPP_SCRIPT, record=True), state0)
                 self.replay.extend_from_actor(
                     out.samples, out.status,
                     final_round=jnp.asarray(out.state.round))
@@ -358,9 +444,8 @@ class Trainer:
             b += b % 2
             state0 = self._initial_states(b)
             out = self._episode_loop(
-                lambda st, c, pr, k: self._versus_fast_chunk(
-                    self.gen_params, self.gen_batch_stats, st, c, pr, k,
-                    opponent), state0)
+                self._versus_call(self.gen_params, self.gen_batch_stats,
+                                  opponent, record=False), state0)
             status = np.asarray(out.status)
             started = np.asarray(state0.cur_player)
             part = {
@@ -392,9 +477,9 @@ class Trainer:
             b += b % 2
             state0 = self._initial_states(b)
             out = self._episode_loop(
-                lambda st, c, pr, k: self._arena_chunk(
+                self._arena_call(
                     self.train_state.params, self.train_state.batch_stats,
-                    other.params, other.batch_stats, st, c, pr, k),
+                    other.params, other.batch_stats),
                 state0)
             status = np.asarray(out.status)
             started = np.asarray(state0.cur_player)

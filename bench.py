@@ -88,6 +88,53 @@ def bench_mcts(cfg, batch):
     return batch * cfg.mcts_simulations / dt
 
 
+def bench_mcts_fast(cfg, batch, int8=False):
+    """MCTS with the production inference path: BN-folded weights, trunk in
+    the VMEM-resident pallas kernel (models/fast_infer.py)."""
+    import alphazero_risk_tpu.mcts.search as M
+    from alphazero_risk_tpu.env.state import new_game
+    from alphazero_risk_tpu.models.fast_infer import (fold_for_inference,
+                                                      make_fast_eval_fn)
+    from alphazero_risk_tpu.models.resnet import init_network
+
+    _, variables = init_network(cfg, jax.random.PRNGKey(0))
+    folded = fold_for_inference(variables, cfg, int8=int8)
+    eval_fn = make_fast_eval_fn(cfg, int8=int8)
+
+    root = new_game(jax.random.PRNGKey(2), batch)
+
+    @jax.jit
+    def run(root, key):
+        res = M.search(root, key, cfg,
+                       lambda s, m: eval_fn(folded, s, m))
+        return res.visit_counts
+
+    dt = _timeit(run, root, jax.random.PRNGKey(3))
+    return batch * cfg.mcts_simulations / dt
+
+
+def bench_nn_fast(cfg, batch, inner=16, int8=False):
+    from alphazero_risk_tpu.models.fast_infer import (apply_folded,
+                                                      fold_for_inference)
+    from alphazero_risk_tpu.models.resnet import init_network
+
+    _, variables = init_network(cfg, jax.random.PRNGKey(0))
+    folded = fold_for_inference(variables, cfg, int8=int8)
+    xs = jax.random.uniform(jax.random.PRNGKey(1),
+                            (inner, batch, 7, 6, cfg.num_features))
+
+    @jax.jit
+    def fwd(folded, xs):
+        def body(acc, x):
+            logits, value = apply_folded(folded, x, int8=int8)
+            return acc + value.sum(), ()
+        acc, _ = jax.lax.scan(body, 0.0, xs)
+        return acc
+
+    dt = _timeit(fwd, folded, xs)
+    return inner * batch / dt
+
+
 def bench_nn(cfg, batch, inner=16):
     """Steady-state inference throughput: ``inner`` chained forwards inside
     one dispatch (self-play evaluates leaves in exactly this regime; a
@@ -132,6 +179,14 @@ def main():
         cfg5 = cfg.replace(blocks=5)
         env_b, env_k, mcts_b, nn_b = 8192, 128, 2048, 1024
 
+    import contextlib
+
+    if args.quick:
+        from jax.experimental.pallas import tpu as pltpu
+        interp = pltpu.force_tpu_interpret_mode     # single-use CM factory
+    else:
+        interp = contextlib.nullcontext
+
     t0 = time.time()
     env_sps = bench_env_steps(cfg, env_b, env_k)
     print(f"# env_steps/s = {env_sps:,.0f} ({time.time()-t0:.0f}s)",
@@ -141,9 +196,19 @@ def main():
     print(f"# nn_samples/s = {nn_sps:,.0f} ({time.time()-t0:.0f}s)",
           file=sys.stderr)
     t0 = time.time()
+    with interp():
+        nn_fast_sps = bench_nn_fast(cfg, nn_b)
+    print(f"# nn_samples/s (folded+pallas) = {nn_fast_sps:,.0f} "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    t0 = time.time()
     mcts_sps = bench_mcts(cfg, mcts_b)
     print(f"# mcts_sims/s (20 blocks) = {mcts_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    t0 = time.time()
+    with interp():
+        mcts_fast_sps = bench_mcts_fast(cfg, mcts_b)
+    print(f"# mcts_sims/s (20 blocks, folded+pallas) = "
+          f"{mcts_fast_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
     mcts5_sps = bench_mcts(cfg5, mcts_b)
     print(f"# mcts_sims/s (5 blocks) = {mcts5_sps:,.0f} "
@@ -156,10 +221,12 @@ def main():
         "vs_baseline": round(env_sps / 1_000_000, 3),
         "extras": {
             "mcts_sims_per_s_20block": round(mcts_sps),
+            "mcts_sims_per_s_20block_fast": round(mcts_fast_sps),
             "mcts_sims_per_s_5block": round(mcts5_sps),
-            "mcts_sims_target_ratio": round(mcts5_sps / 100_000, 3),
+            "mcts_sims_target_ratio": round(mcts_fast_sps / 100_000, 3),
             "nn_infer_samples_per_s": round(nn_sps),
-            "nn_vs_reference_gpu": round(nn_sps / 2720, 2),
+            "nn_infer_samples_per_s_fast": round(nn_fast_sps),
+            "nn_vs_reference_gpu": round(nn_fast_sps / 2720, 2),
         },
     }))
 

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--games", type=int, default=2000)
     ap.add_argument("--mcts", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="folded-pallas inference for arenas/benchmarks")
+    ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -48,6 +51,7 @@ def main():
         benchmark_games_random=16,
         benchmark_games_script=128,
         max_game_steps=1000,
+        fast_infer=args.fast,
     )
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
@@ -81,7 +85,7 @@ def main():
         t_gen = time.time() - t0
 
         t1 = time.time()
-        pi_l, v_l = t.train_epochs(epochs=3)
+        pi_l, v_l = t.train_epochs(epochs=args.epochs)
         t_train = time.time() - t1
 
         t2 = time.time()

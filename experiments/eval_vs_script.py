@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--sims", type=int, nargs="+", default=[32, 128, 512])
     ap.add_argument("--out", default="experiments/eval_results.jsonl")
+    ap.add_argument("--fast", action="store_true",
+                    help="folded-pallas inference path")
+    ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
 
     from alphazero_risk_tpu.config import Config
@@ -34,8 +37,8 @@ def main():
 
     for sims in args.sims:
         cfg = Config(blocks=args.blocks, mcts_simulations=sims,
-                     max_depth=48, env_batch_per_device=256,
-                     max_game_steps=1000,
+                     max_depth=48, env_batch_per_device=args.batch,
+                     max_game_steps=1000, fast_infer=args.fast,
                      actor_chunk_steps=max(16, 2048 // sims))
         t = Trainer(cfg, seed=123)
         t.ckpt = CheckpointManager(cfg, args.ckpt)
