@@ -19,14 +19,13 @@ before trusting a new variant.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.fused_trunk import fused_trunk_bf16, fused_trunk_int8
+from ..ops.fused_trunk import fused_trunk_bf16
 
 BOARD = 42
 
@@ -96,14 +95,102 @@ def quantize_trunk(folded: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _stem(folded, x):
-    """x [B,7,6,F] -> [B,42,C] f32 (post-ReLU)."""
+    """x [B,7,6,F] -> [B,7,6,C] f32 (post-ReLU)."""
     h = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), folded["stem_w"],
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + folded["stem_b"], 0.0)
-    return h.reshape(h.shape[0], BOARD, -1)
+    return jnp.maximum(h + folded["stem_b"], 0.0)
+
+
+def _conv_i8(q, w):
+    """int8 x int8 -> int32 3x3 SAME conv on the MXU."""
+    return jax.lax.conv_general_dilated(
+        q, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def _quant_dyn(h):
+    """Dynamic per-tensor symmetric quantization."""
+    s = jnp.maximum(jnp.max(jnp.abs(h)), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _trunk_xla_int8(folded, h):
+    """int8 residual trunk on XLA convs.  h [B,7,6,C] f32 -> same.
+
+    Beats the roll-based pallas int8 kernel on this shape (the 9 sublane
+    rotates per conv cost more VPU time than the MXU saves; XLA's conv
+    lowering shifts in-register).  Activation scales: static per-conv if
+    ``act_s`` was calibrated into the folded pytree (quantize then fuses
+    into the preceding elementwise op — no reduction barrier), dynamic
+    per-tensor otherwise."""
+    L = folded["trunk_wq"].shape[0]
+    C = folded["trunk_wq"].shape[-1]
+    w = folded["trunk_wq"].reshape(L, 2, 3, 3, C, C)
+    ws = folded["trunk_ws"]
+    b = folded["trunk_b"]
+    act_s = folded.get("act_s")          # [L, 2] f32 or None
+    for l in range(L):
+        x = h
+        if act_s is None:
+            q, s = _quant_dyn(x)
+        else:
+            s = act_s[l, 0]
+            q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127
+                         ).astype(jnp.int8)
+        y = _conv_i8(q, w[l, 0]).astype(jnp.float32)
+        y = jnp.maximum(y * (s * ws[l, 0]) + b[l, 0], 0.0)
+        if act_s is None:
+            q2, s2 = _quant_dyn(y)
+        else:
+            s2 = act_s[l, 1]
+            q2 = jnp.clip(jnp.round(y * (1.0 / s2)), -127, 127
+                          ).astype(jnp.int8)
+        z = _conv_i8(q2, w[l, 1]).astype(jnp.float32)
+        z = z * (s2 * ws[l, 1]) + b[l, 1]
+        h = jnp.maximum(z + x, 0.0)
+    return h
+
+
+def calibrate_trunk(folded: Dict[str, Any], feats: jax.Array,
+                    margin: float = 1.25) -> Dict[str, Any]:
+    """Record static per-conv activation scales (max-abs over ``feats``,
+    a representative [B,7,6,F] feature batch, times a clipping-safety
+    ``margin`` for activations outside the calibration set) into the
+    folded pytree.  Returns a new pytree whose int8 path quantizes with
+    fused static scales instead of per-batch dynamic reductions."""
+    L = folded["trunk_w"].shape[0]
+    C = folded["trunk_w"].shape[-1]
+    wbf = folded["trunk_w"].reshape(L, 2, 3, 3, C, C)
+    b = folded["trunk_b"]
+
+    @jax.jit
+    def run(feats):
+        h = _stem(folded, feats)
+        scales = []
+        for l in range(L):
+            x = h
+            scales.append(jnp.max(jnp.abs(x)))
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), wbf[l, 0], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            y = jnp.maximum(y + b[l, 0], 0.0)
+            scales.append(jnp.max(jnp.abs(y)))
+            z = jax.lax.conv_general_dilated(
+                y.astype(jnp.bfloat16), wbf[l, 1], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            h = jnp.maximum(z + b[l, 1] + x, 0.0)
+        return jnp.stack(scales).reshape(L, 2)
+
+    act_max = run(feats)
+    act_s = jnp.maximum(act_max * margin, 1e-6) / 127.0
+    return {**folded, "act_s": act_s.astype(jnp.float32)}
 
 
 def _heads(folded, h):
@@ -122,33 +209,53 @@ def _heads(folded, h):
     return logits, jnp.tanh(v).squeeze(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("int8", "tile_b"))
-def apply_folded(folded: Dict[str, Any], x: jax.Array, *,
-                 int8: bool = False, tile_b: int = 32):
-    """Forward pass on folded params.  x [B,7,6,F] -> (logits, value)."""
-    h = _stem(folded, x)
-    # B is static under jit; shrink the tile to a divisor of B so any batch
-    # size works (pallas batch tiles must divide the batch).
-    tb = pick_tile_b(x.shape[0], tile_b)
+def apply_folded_impl(folded: Dict[str, Any], x: jax.Array, *,
+                      int8: bool = False, tile_b: int = 0):
+    """Forward pass on folded params.  x [B,7,6,F] -> (logits, value).
+
+    The bf16 trunk runs in the VMEM-resident pallas kernel; the int8 trunk
+    runs on XLA int8 convs (measured faster than the roll-based pallas
+    int8 kernel on this shape — see ``_trunk_xla_int8``).  ``tile_b=0``
+    picks the default pallas batch tile (32).
+
+    NOT jitted: call this from inside your own jitted computation (a
+    nested jit is a call boundary that blocks XLA from fusing the
+    quantize/rescale elementwise work into neighbors — measured 1.8x
+    slower).  ``apply_folded`` is the jitted wrapper for direct use."""
+    if not tile_b:
+        tile_b = 32
+    h = _stem(folded, x)                              # [B,7,6,C]
     if int8:
-        h = fused_trunk_int8(h, folded["trunk_wq"], folded["trunk_ws"],
-                             folded["trunk_b"], tile_b=tb)
+        h = _trunk_xla_int8(folded, h)
+        # Layout firewall: without it XLA back-propagates the value head's
+        # degenerate 1-output-channel contraction layout through all 40
+        # int8 convs (measured 1.8x slowdown of the whole trunk).
+        h = jax.lax.optimization_barrier(h)
+        h = h.reshape(h.shape[0], BOARD, -1)
     else:
+        h = h.reshape(h.shape[0], BOARD, -1)
+        # B is static under jit; shrink the tile to a divisor of B so any
+        # batch size works (pallas batch tiles must divide the batch).
+        tb = pick_tile_b(x.shape[0], tile_b)
         h = fused_trunk_bf16(h, folded["trunk_w"], folded["trunk_b"],
                              tile_b=tb)
     return _heads(folded, h)
 
 
+apply_folded = jax.jit(apply_folded_impl,
+                       static_argnames=("int8", "tile_b"))
+
+
 def make_fast_eval_fn(cfg: Config, *, int8: bool = False,
-                      tile_b: int = 32):
+                      tile_b: int = 0):
     """MCTS eval_fn over folded params (drop-in for
     ``training.actor.make_eval_fn`` minus batch_stats plumbing)."""
     from ..env.featurize import featurize
 
     def eval_fn(folded, state, legal):
         feats = featurize(state, cfg)
-        logits, value = apply_folded(folded, feats, int8=int8,
-                                     tile_b=tile_b)
+        logits, value = apply_folded_impl(folded, feats, int8=int8,
+                                          tile_b=tile_b)
         probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
         return probs, value
 
@@ -156,7 +263,7 @@ def make_fast_eval_fn(cfg: Config, *, int8: bool = False,
 
 
 def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
-                             tile_b: int = 32):
+                             tile_b: int = 0):
     """Two-model eval_fn over folded params for gating arenas: each game's
     leaf is scored by the root mover's own network (drop-in for
     ``training.actor.make_paired_eval_fn``)."""
@@ -164,8 +271,10 @@ def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
 
     def eval_fn(folded_a, folded_b, use_a, state, legal):
         feats = featurize(state, cfg)
-        la, va = apply_folded(folded_a, feats, int8=int8, tile_b=tile_b)
-        lb, vb = apply_folded(folded_b, feats, int8=int8, tile_b=tile_b)
+        la, va = apply_folded_impl(folded_a, feats, int8=int8,
+                                   tile_b=tile_b)
+        lb, vb = apply_folded_impl(folded_b, feats, int8=int8,
+                                   tile_b=tile_b)
         logits = jnp.where(use_a[:, None], la, lb)
         value = jnp.where(use_a, va, vb)
         probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
@@ -174,13 +283,34 @@ def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
     return eval_fn
 
 
+def default_calib_feats(cfg: Config, key: jax.Array,
+                        batch: int = 256) -> jax.Array:
+    """Representative feature batch for int8 activation calibration:
+    featurized fresh initial states plus uniform noise over the feature
+    cube (all planes are [0,1] by construction, so the noise half
+    upper-bounds phases/plane combinations the initial states lack)."""
+    from ..env.featurize import featurize
+    from ..env.state import new_game
+
+    st = new_game(key, batch)
+    f1 = featurize(st, cfg)
+    f2 = jax.random.uniform(jax.random.fold_in(key, 1), f1.shape)
+    return jnp.concatenate([f1, f2], 0)
+
+
 def fold_for_inference(variables: Dict[str, Any], cfg: Config, *,
-                       int8: bool = False) -> Dict[str, Any]:
+                       int8: bool = False,
+                       calib_feats: Any = None) -> Dict[str, Any]:
     """One-call fold (+ optional int8 trunk quantization) of live training
-    variables into the inference pytree actors consume."""
+    variables into the inference pytree actors consume.  With
+    ``calib_feats`` (a representative [B,7,6,F] feature batch), the int8
+    path additionally records static activation scales so quantization
+    fuses instead of reducing per batch."""
     folded = fold_params(variables, cfg)
     if int8:
         folded = quantize_trunk(folded)
+        if calib_feats is not None:
+            folded = calibrate_trunk(folded, calib_feats)
     return folded
 
 

@@ -77,24 +77,27 @@ def _conv9_bf16(h, w_taps, masks):
     return acc
 
 
-def _conv9_int8(h, w_taps, masks):
+def _conv9_int8(h, w9, masks_i):
     """h [R, C] f32 (>= 0 after ReLU) -> ([R, C] int32, scale f32).
 
-    Dynamic per-tile symmetric quantization of the activation; weights are
-    already int8 with per-output-channel scales applied by the caller."""
+    Quantize ONCE per conv (dynamic per-tile symmetric), keep the
+    quantized copy in int32 so Mosaic's 32-bit-only rotate applies, then
+    assemble all 9 masked shifts into one [R, 9C] int8 matrix and hit the
+    MXU with a single GEMM against ``w9`` [9C, C] int8.  Versus a
+    quantize-per-tap formulation this does 1/9th of the round/clip VPU
+    work and keeps at most one int8 copy of the activations live (the
+    per-tap f32 variant kept nine f32 copies live -> scoped-VMEM OOM)."""
     m = jnp.max(jnp.abs(h))
     s = jnp.maximum(m, 1e-6) / 127.0
-    inv = 1.0 / s
-    acc = None
+    q = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int32)
+    parts = []
     for t, k in enumerate(TAP_SHIFTS):
-        # 32-bit rotate, then quantize the rolled copy (shared scale).
-        xs = pltpu.roll(h, (-k) % h.shape[0], 0) if k else h
-        q = jnp.clip(jnp.round(xs * masks[:, t:t + 1] * inv), -127, 127
-                     ).astype(jnp.int8)
-        d = jax.lax.dot_general(
-            q, w_taps[t], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = d if acc is None else acc + d
+        xs = pltpu.roll(q, (-k) % q.shape[0], 0) if k else q
+        parts.append((xs * masks_i[:, t:t + 1]).astype(jnp.int8))
+    x9 = jnp.concatenate(parts, axis=1)                # [R, 9C] int8
+    acc = jax.lax.dot_general(
+        x9, w9, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
     return acc, s
 
 
@@ -120,7 +123,7 @@ def _trunk_kernel_bf16(m_ref, x_ref, w_ref, b_ref, out_ref, res_ref):
 
 def _trunk_kernel_int8(m_ref, x_ref, w_ref, s_ref, b_ref, out_ref,
                        res_ref):
-    masks_c = m_ref
+    masks_i = m_ref[:]
     k = pl.program_id(1)
     nb = pl.num_programs(1)
 
@@ -129,10 +132,10 @@ def _trunk_kernel_int8(m_ref, x_ref, w_ref, s_ref, b_ref, out_ref,
         res_ref[:] = x_ref[:].astype(jnp.float32)
 
     x = res_ref[:]
-    acc, sx = _conv9_int8(x, w_ref[0], masks_c)
+    acc, sx = _conv9_int8(x, w_ref[0], masks_i)
     y = acc.astype(jnp.float32) * (sx * s_ref[0][None, :]) + b_ref[0][None, :]
     y = jnp.maximum(y, 0.0)
-    acc2, sy = _conv9_int8(y, w_ref[1], masks_c)
+    acc2, sy = _conv9_int8(y, w_ref[1], masks_i)
     z = (acc2.astype(jnp.float32) * (sy * s_ref[1][None, :])
          + b_ref[1][None, :])
     res_ref[:] = jnp.maximum(z + x, 0.0)
@@ -202,8 +205,12 @@ def fused_trunk_int8(x: jax.Array, wq: jax.Array, ws: jax.Array,
     tile_b = min(tile_b, B)
     assert B % tile_b == 0
     rows = tile_b * BOARD
-    masks = jnp.asarray(_tap_masks(rows))
+    masks_i = jnp.asarray(_tap_masks(rows)).astype(jnp.int32)
     x2 = x.reshape(B * BOARD, C).astype(jnp.float32)
+    # [blocks, 2, 9, C, C] -> [blocks, 2, 9C, C]: rows ordered (tap, cin),
+    # matching the tap-major column order of the kernel's concatenated
+    # activation matrix.
+    w9 = wq.reshape(blocks, 2, 9 * C, C)
 
     def kern(m_ref, x_ref, w_ref, s_ref, b_ref, out_ref, res_ref):
         _trunk_kernel_int8(m_ref, x_ref, _Lead(w_ref), _Lead(s_ref),
@@ -217,7 +224,7 @@ def fused_trunk_int8(x: jax.Array, wq: jax.Array, ws: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, C), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 9, C, C), lambda i, k: (k, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, 9 * C, C), lambda i, k: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, C), lambda i, k: (k, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,5 +235,5 @@ def fused_trunk_int8(x: jax.Array, wq: jax.Array, ws: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * BOARD, C), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, C), jnp.float32)],
-    )(masks, x2, wq, ws, b)
+    )(masks_i, x2, w9, ws, b)
     return out.reshape(B, BOARD, C)

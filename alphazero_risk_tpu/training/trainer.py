@@ -135,9 +135,13 @@ class Trainer:
         self._folded_gen = None
 
     def _fold(self, params, bstats):
+        calib = None
+        if self.cfg.fast_infer_int8:
+            from ..models.fast_infer import default_calib_feats
+            calib = default_calib_feats(self.cfg, jax.random.PRNGKey(17))
         return fold_for_inference(
             {"params": params, "batch_stats": bstats}, self.cfg,
-            int8=self.cfg.fast_infer_int8)
+            int8=self.cfg.fast_infer_int8, calib_feats=calib)
 
     def _gen_folded(self):
         if self._folded_gen is None:

@@ -93,12 +93,16 @@ def bench_mcts_fast(cfg, batch, int8=False):
     the VMEM-resident pallas kernel (models/fast_infer.py)."""
     import alphazero_risk_tpu.mcts.search as M
     from alphazero_risk_tpu.env.state import new_game
-    from alphazero_risk_tpu.models.fast_infer import (fold_for_inference,
+    from alphazero_risk_tpu.models.fast_infer import (default_calib_feats,
+                                                      fold_for_inference,
                                                       make_fast_eval_fn)
     from alphazero_risk_tpu.models.resnet import init_network
 
     _, variables = init_network(cfg, jax.random.PRNGKey(0))
-    folded = fold_for_inference(variables, cfg, int8=int8)
+    calib = default_calib_feats(cfg, jax.random.PRNGKey(17)) if int8 \
+        else None
+    folded = fold_for_inference(variables, cfg, int8=int8,
+                                calib_feats=calib)
     eval_fn = make_fast_eval_fn(cfg, int8=int8)
 
     root = new_game(jax.random.PRNGKey(2), batch)
@@ -115,11 +119,15 @@ def bench_mcts_fast(cfg, batch, int8=False):
 
 def bench_nn_fast(cfg, batch, inner=16, int8=False):
     from alphazero_risk_tpu.models.fast_infer import (apply_folded,
+                                                      default_calib_feats,
                                                       fold_for_inference)
     from alphazero_risk_tpu.models.resnet import init_network
 
     _, variables = init_network(cfg, jax.random.PRNGKey(0))
-    folded = fold_for_inference(variables, cfg, int8=int8)
+    calib = default_calib_feats(cfg, jax.random.PRNGKey(17)) if int8 \
+        else None
+    folded = fold_for_inference(variables, cfg, int8=int8,
+                                calib_feats=calib)
     xs = jax.random.uniform(jax.random.PRNGKey(1),
                             (inner, batch, 7, 6, cfg.num_features))
 
@@ -201,6 +209,11 @@ def main():
     print(f"# nn_samples/s (folded+pallas) = {nn_fast_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
+    with interp():
+        nn_int8_sps = bench_nn_fast(cfg, nn_b, int8=True)
+    print(f"# nn_samples/s (folded+pallas, int8) = {nn_int8_sps:,.0f} "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    t0 = time.time()
     mcts_sps = bench_mcts(cfg, mcts_b)
     print(f"# mcts_sims/s (20 blocks) = {mcts_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
@@ -209,6 +222,11 @@ def main():
         mcts_fast_sps = bench_mcts_fast(cfg, mcts_b)
     print(f"# mcts_sims/s (20 blocks, folded+pallas) = "
           f"{mcts_fast_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
+    t0 = time.time()
+    with interp():
+        mcts_int8_sps = bench_mcts_fast(cfg, mcts_b, int8=True)
+    print(f"# mcts_sims/s (20 blocks, folded+pallas, int8) = "
+          f"{mcts_int8_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
     mcts5_sps = bench_mcts(cfg5, mcts_b)
     print(f"# mcts_sims/s (5 blocks) = {mcts5_sps:,.0f} "
@@ -222,11 +240,15 @@ def main():
         "extras": {
             "mcts_sims_per_s_20block": round(mcts_sps),
             "mcts_sims_per_s_20block_fast": round(mcts_fast_sps),
+            "mcts_sims_per_s_20block_int8": round(mcts_int8_sps),
             "mcts_sims_per_s_5block": round(mcts5_sps),
-            "mcts_sims_target_ratio": round(mcts_fast_sps / 100_000, 3),
+            "mcts_sims_target_ratio": round(
+                max(mcts_fast_sps, mcts_int8_sps) / 100_000, 3),
             "nn_infer_samples_per_s": round(nn_sps),
             "nn_infer_samples_per_s_fast": round(nn_fast_sps),
-            "nn_vs_reference_gpu": round(nn_fast_sps / 2720, 2),
+            "nn_infer_samples_per_s_int8": round(nn_int8_sps),
+            "nn_vs_reference_gpu": round(
+                max(nn_fast_sps, nn_int8_sps) / 2720, 2),
         },
     }))
 

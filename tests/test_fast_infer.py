@@ -74,14 +74,17 @@ def test_bf16_parity(batch):
         >= 0.9
 
 
-def test_int8_agreement():
+@pytest.mark.parametrize("calibrated", [False, True])
+def test_int8_agreement(calibrated):
     net, variables = _randomized_variables(CFG)
     x = _inputs(CFG, 32)
     ref_logits, ref_value = net.apply(variables, x, train=False)
 
     folded = quantize_trunk(fold_params(variables, CFG))
-    with pltpu.force_tpu_interpret_mode():
-        logits, value = apply_folded(folded, x, int8=True)
+    if calibrated:
+        from alphazero_risk_tpu.models.fast_infer import calibrate_trunk
+        folded = calibrate_trunk(folded, _inputs(CFG, 64, seed=7))
+    logits, value = apply_folded(folded, x, int8=True)
 
     # int8 trunk: looser numeric agreement, but play-relevant signals
     # (argmax action, value sign/magnitude) must hold
@@ -91,6 +94,28 @@ def test_int8_agreement():
     corr = np.corrcoef(np.asarray(logits).ravel(),
                        np.asarray(ref_logits).ravel())[0, 1]
     assert corr > 0.99, f"logit correlation {corr}"
+
+
+def test_pallas_int8_trunk_matches_xla_int8_trunk():
+    """The roll-based pallas int8 kernel (ops/fused_trunk.py) and the
+    XLA-conv int8 trunk must agree: same quantization scheme, same math."""
+    from alphazero_risk_tpu.models.fast_infer import (_stem,
+                                                      _trunk_xla_int8)
+    from alphazero_risk_tpu.ops.fused_trunk import fused_trunk_int8
+
+    _, variables = _randomized_variables(CFG)
+    folded = quantize_trunk(fold_params(variables, CFG))
+    x = _inputs(CFG, 16)
+    h = _stem(folded, x)
+    ref = _trunk_xla_int8(folded, h)
+    ref = ref.reshape(ref.shape[0], 42, -1)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_trunk_int8(
+            h.reshape(h.shape[0], 42, -1), folded["trunk_wq"],
+            folded["trunk_ws"], folded["trunk_b"], tile_b=16)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.1, rtol=0.05)
 
 
 def test_eval_fn_masks_and_normalizes():
