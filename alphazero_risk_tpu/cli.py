@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native AlphaZero for the game Risk")
     p.add_argument("-m", "--mode", default="play",
                    choices=["play", "train", "train-script", "train-data",
-                            "analysis", "bench"])
+                            "analysis", "bench", "watch"])
+    p.add_argument("--micro", action="store_true",
+                   help="watch mode: pause every micro-decision, not turn")
+    p.add_argument("--no-pause", action="store_true",
+                   help="watch mode: dump all turns without waiting")
     p.add_argument("--p1", default="az", choices=["az", "sp", "rp"],
                    help="player 1 in play mode (reference --p1)")
     p.add_argument("--p2", default="sp", choices=["sp", "rp", "az"],
@@ -114,6 +118,17 @@ def main(argv=None):
     if args.mode == "bench":
         import bench
         bench.main()
+        return
+
+    if args.mode == "watch":
+        if "az" in (args.p1, args.p2):
+            raise SystemExit(
+                "watch mode steps the scalar engine: players sp/rp only "
+                "(use -m play for az matches)")
+        from .utils.watch import watch_game
+        watch_game(args.p1, args.p2, seed=args.seed,
+                   cfg=config_from_args(args), micro=args.micro,
+                   pause=not args.no_pause)
         return
 
     cfg = config_from_args(args)

@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fast", action="store_true",
                     help="folded-pallas inference for arenas/benchmarks")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --fast: int8-quantized trunk")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--compare-games", type=int, default=192)
+    ap.add_argument("--bench-script", type=int, default=128)
+    ap.add_argument("--bench-random", type=int, default=16)
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -47,11 +52,12 @@ def main():
         env_batch_per_device=512,
         data_games_ss=args.games,
         data_games_sr=args.games,
-        compare_games=192,
-        benchmark_games_random=16,
-        benchmark_games_script=128,
+        compare_games=args.compare_games,
+        benchmark_games_random=args.bench_random,
+        benchmark_games_script=args.bench_script,
         max_game_steps=1000,
         fast_infer=args.fast,
+        fast_infer_int8=args.int8,
     )
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402

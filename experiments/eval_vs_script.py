@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--out", default="experiments/eval_results.jsonl")
     ap.add_argument("--fast", action="store_true",
                     help="folded-pallas inference path")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --fast: int8-quantized trunk")
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
 
@@ -39,6 +41,7 @@ def main():
         cfg = Config(blocks=args.blocks, mcts_simulations=sims,
                      max_depth=48, env_batch_per_device=args.batch,
                      max_game_steps=1000, fast_infer=args.fast,
+                     fast_infer_int8=args.int8,
                      actor_chunk_steps=max(16, 2048 // sims))
         t = Trainer(cfg, seed=123)
         t.ckpt = CheckpointManager(cfg, args.ckpt)

@@ -94,3 +94,15 @@ def test_script_beats_random():
     assert s["unfinished"] == 0
     # The scripted strategy must dominate uniform-random play.
     assert s["p0_wins"] >= 0.8 * s["games"], s
+
+
+def test_watch_mode_runs_headless(capsys):
+    """The interactive viewer (utils/watch.py) must play a full scripted
+    game headless (reference board GUI replacement)."""
+    from alphazero_risk_tpu.utils.watch import watch_game
+
+    status = watch_game("sp", "rp", seed=5, pause=False)
+    out = capsys.readouterr().out
+    assert status in (0, 1, -2)
+    assert "wins in round" in out or "draw" in out
+    assert "NORTH_AMERICA" in out
