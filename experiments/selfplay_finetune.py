@@ -1,0 +1,134 @@
+"""Self-play fine-tuning from the supervised-bootstrap checkpoint.
+
+The reference's best models came from the `train-data` bootstrap
+(alphazero_trainer.cpp:227-319); its from-scratch self-play (`-m train`)
+plateaued below script parity (BASELINE.md).  The natural combination —
+bootstrap, then improve by gated self-play (`train` mode,
+alphazero_trainer.cpp:12-34) — is what this experiment runs: restore the
+bootstrap weights, loop { self-play games -> trim -> epochs -> gating
+arena (revert on fail) -> periodic benchmark }.
+
+Usage:
+  python experiments/selfplay_finetune.py --iters 12 \
+      --init-ckpt artifacts --init-role ckpt-bootstrap-5block-r1
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from alphazero_risk_tpu.config import Config  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--out", default="experiments/finetune_out")
+    ap.add_argument("--init-ckpt", default="artifacts")
+    ap.add_argument("--init-role", default="ckpt-bootstrap-5block-r1")
+    ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--games", type=int, default=512,
+                    help="self-play games per iteration")
+    ap.add_argument("--mcts", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compare-games", type=int, default=192)
+    ap.add_argument("--bench-every", type=int, default=3)
+    ap.add_argument("--bench-script", type=int, default=128)
+    ap.add_argument("--bench-random", type=int, default=16)
+    ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args()
+
+    init_ckpt = os.path.abspath(args.init_ckpt)
+    os.makedirs(args.out, exist_ok=True)
+    os.chdir(args.out)
+
+    cfg = Config(
+        blocks=args.blocks,
+        learning_rate=args.lr,
+        mcts_simulations=args.mcts,
+        max_depth=48,
+        batch_size=512,
+        env_batch_per_device=512,
+        train_iteration_games=args.games,
+        epochs=args.epochs,
+        samples_storage_min_batches=256,     # keep >=131K samples
+        samples_storage_max_batches=2048,    # cap ~1M samples
+        compare_games=args.compare_games,
+        compare_threshold=0.55,
+        benchmark_games_random=args.bench_random,
+        benchmark_games_script=args.bench_script,
+        max_game_steps=1000,
+        fast_infer=args.fast,
+        fast_infer_int8=args.int8,
+    )
+
+    from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
+    from alphazero_risk_tpu.training.checkpoints import (  # noqa: E402
+        CheckpointManager)
+
+    t = Trainer(cfg, seed=args.seed)
+    init_mgr = CheckpointManager(cfg, init_ckpt)
+    assert init_mgr.exists(args.init_role), (
+        f"missing init checkpoint {init_ckpt}/{args.init_role}")
+    t.train_state = init_mgr.restore(args.init_role, t.train_state)
+    t.gen_params = t.train_state.params
+    t.gen_batch_stats = t.train_state.batch_stats
+    t.ckpt.save("best", t.train_state)   # starting point = current best
+    t._install_sigint_flush()
+    print(f"finetune: {args.iters} iters from {args.init_role}, "
+          f"blocks={cfg.blocks} mcts={cfg.mcts_simulations} "
+          f"games/iter={args.games}", flush=True)
+
+    accepted = 0
+    for it in range(args.iters):
+        t.iteration = it
+        t0 = time.time()
+        added = t.generate_selfplay()
+        t.replay.trim()
+        t_gen = time.time() - t0
+
+        t1 = time.time()
+        pi_l, v_l = t.train_epochs()
+        t_train = time.time() - t1
+
+        t2 = time.time()
+        improved = t.gate(revert_on_fail=True)
+        t_gate = time.time() - t2
+        if improved:
+            accepted += 1
+            t.replay.mark_old_games()
+
+        rec = {
+            "iter": it, "samples_added": added, "buffer": len(t.replay),
+            "pi_loss": pi_l, "v_loss": v_l, "improved": improved,
+            "accepted_total": accepted,
+            "t_gen": round(t_gen, 1), "t_train": round(t_train, 1),
+            "t_gate": round(t_gate, 1),
+        }
+        if improved and args.bench_every and (
+                accepted % args.bench_every == 0):
+            t3 = time.time()
+            bench = t.benchmark()
+            rec["vs_random"] = bench[0]
+            rec["vs_script"] = bench[1]
+            rec["t_bench"] = round(time.time() - t3, 1)
+        print(json.dumps(rec), flush=True)
+        with open("progress.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    t.ckpt.save("final", t.train_state)
+    t.replay.save(f"{cfg.data_dir}/training_samples.npz")
+    print(f"done: {accepted}/{args.iters} gates accepted", flush=True)
+
+
+if __name__ == "__main__":
+    main()
