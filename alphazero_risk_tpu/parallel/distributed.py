@@ -25,11 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               cpu_collectives: Optional[str] = None) -> None:
     """Bring up the multi-host runtime (no-op when single-process and no
-    coordinator is given)."""
+    coordinator is given).
+
+    ``cpu_collectives`` ('gloo' or 'mpi') selects the cross-process
+    collectives implementation for the CPU backend — required when
+    validating the multi-host path on CPU processes (tools/
+    multihost_smoke.py); on TPU pods the XLA runtime provides ICI/DCN
+    collectives and this must stay None.
+    """
     if num_processes is None and coordinator_address is None:
         return
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

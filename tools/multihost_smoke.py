@@ -1,0 +1,218 @@
+"""Real multi-process validation of the multi-host runtime.
+
+The reference is single-process (SURVEY.md section 5: no communication
+backend).  This framework's scale-out story is `jax.distributed` + one
+global DP mesh (parallel/distributed.py); this tool PROVES that path by
+launching N actual OS processes that form a JAX distributed world over
+local CPU devices (gloo collectives standing in for ICI/DCN) and running:
+
+  * a data-parallel training step — per-process local batches assembled
+    into one global array (`host_local_batch`), gradient all-reduce across
+    processes inserted by XLA,
+  * sharded vectorized env stepping — every process advances only its
+    shard of the global game batch,
+  * scripted self-play data generation on the sharded batch,
+  * cross-process metric aggregation (`allgather_metrics`).
+
+Every process must observe identical losses (the gradient psum is global)
+and the summed metrics.  On a TPU pod the identical code runs with
+`cpu_collectives=None` and one process per host.
+
+Usage:
+  python tools/multihost_smoke.py --nprocs 2 --local-devices 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(args) -> None:
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from alphazero_risk_tpu.parallel import distributed as D
+
+    D.initialize(f"127.0.0.1:{args.port}", args.nprocs, args.worker,
+                 cpu_collectives="gloo")
+    pid = jax.process_index()
+    assert jax.process_count() == args.nprocs, (
+        f"world size {jax.process_count()} != {args.nprocs} — CPU "
+        f"collectives not active?")
+    assert jax.local_device_count() == args.local_devices
+
+    from alphazero_risk_tpu.config import Config
+    from alphazero_risk_tpu.env import rules
+    from alphazero_risk_tpu.env.state import new_game
+    from alphazero_risk_tpu.parallel.mesh import replicate
+    from alphazero_risk_tpu.training import actor as A
+    from alphazero_risk_tpu.training.learner import (create_train_state,
+                                                     make_update_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = Config(blocks=1, filters=32, value_hidden=32, batch_size=16)
+    mesh = D.global_mesh()
+    bs = NamedSharding(mesh, P("dp"))
+
+    # ---- DP training steps: gradient psum across processes ----
+    net, tx, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = replicate(mesh, state)
+    update = jax.jit(make_update_fn(net, tx, cfg),
+                     in_shardings=(NamedSharding(mesh, P()), bs),
+                     out_shardings=(NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P())))
+
+    def make_batch(local_b):
+        # per-process DIFFERENT data: the global loss is only reproducible
+        # across processes if the gradient all-reduce actually happened.
+        r = np.random.default_rng(100 + pid)
+        return {
+            "features": r.uniform(size=(
+                local_b, 7, 6, cfg.num_features)).astype(np.float32),
+            "policy": np.full((local_b, 43), 1.0 / 43, np.float32),
+            "value": r.uniform(-1, 1, size=(local_b,)).astype(np.float32),
+        }
+
+    losses = []
+    for _ in range(3):
+        batch = D.host_local_batch(mesh, make_batch, cfg.batch_size)
+        state, metrics = update(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    # ---- sharded env stepping (the self-play DP axis) ----
+    gb = 16 * args.nprocs * args.local_devices
+
+    def make_games(local_b):
+        g = new_game(jax.random.PRNGKey(1000 + pid), local_b)
+        return jax.tree.map(np.asarray, g)
+
+    games = D.host_local_batch(mesh, make_games, gb)
+    n_env_steps = 64
+
+    @jax.jit
+    def run_env(st, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka, kd = jax.random.split(k, 3)
+            mask = rules.legal_actions(s, cfg)
+            action = jax.random.categorical(
+                ka, jnp.where(mask, 0.0, -1e9)).astype(jnp.int32)
+            s = rules.step_key(s, action, kd, cfg)
+            return (s, k), ()
+
+        (st, _), _ = jax.lax.scan(body, (st, key), None,
+                                  length=n_env_steps)
+        return st
+
+    jax.block_until_ready(run_env(games, jax.random.PRNGKey(2)).army)
+    t0 = time.perf_counter()
+    games = run_env(games, jax.random.PRNGKey(2))
+    jax.block_until_ready(games.army)
+    env_dt = time.perf_counter() - t0
+    army_sum = int(jax.jit(
+        lambda g: g.army.sum(),
+        out_shardings=NamedSharding(mesh, P()))(games))
+
+    # ---- scripted data generation on the sharded batch ----
+    from alphazero_risk_tpu.agents.script_agent import init_carry
+
+    sp0 = D.host_local_batch(
+        mesh, lambda lb: jax.tree.map(
+            np.asarray, new_game(jax.random.PRNGKey(7), lb)), gb)
+    out = jax.jit(lambda s, k: A.run_scripted_episodes(
+        s, k, cfg, 16, (A.OPP_SCRIPT, A.OPP_SCRIPT)))(
+        sp0, jax.random.PRNGKey(3))
+    n_valid = int(jax.jit(
+        lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(
+        out.samples.valid))
+
+    # ---- cross-process metric aggregation ----
+    agg = D.allgather_metrics({"contrib": pid + 1, "one": 1})
+
+    print("MHJSON " + json.dumps({
+        "pid": pid,
+        "world": jax.process_count(),
+        "devices": len(jax.devices()),
+        "losses": [round(x, 6) for x in losses],
+        "army_sum": army_sum,
+        "env_steps_per_s": round(gb * n_env_steps / env_dt),
+        "scripted_samples": n_valid,
+        "metrics": agg,
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--port", type=int, default=12731)
+    ap.add_argument("--worker", type=int, default=-1)
+    ap.add_argument("--timeout", type=int, default=600)
+    args = ap.parse_args()
+
+    if args.worker >= 0:
+        worker(args)
+        return
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.local_devices}")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", str(i), "--nprocs", str(args.nprocs),
+             "--local-devices", str(args.local_devices),
+             "--port", str(args.port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for i in range(args.nprocs)
+    ]
+    deadline = time.time() + args.timeout
+    results, logs = [], []
+    for p in procs:
+        out, _ = p.communicate(timeout=max(1, deadline - time.time()))
+        logs.append(out)
+        if p.returncode != 0:
+            for line in logs:
+                print(line)
+            raise SystemExit(f"worker failed rc={p.returncode}")
+        for line in out.splitlines():
+            if line.startswith("MHJSON "):
+                results.append(json.loads(line[len("MHJSON "):]))
+
+    assert len(results) == args.nprocs, (len(results), logs)
+    r0 = results[0]
+    expect_sum = args.nprocs * (args.nprocs + 1) // 2
+    for r in results:
+        assert r["world"] == args.nprocs, r
+        assert r["devices"] == args.nprocs * args.local_devices, r
+        assert r["losses"] == r0["losses"], (
+            "losses diverged across processes — gradient all-reduce "
+            "broken", results)
+        assert r["army_sum"] == r0["army_sum"], results
+        assert r["metrics"]["contrib"] == expect_sum, results
+        assert r["metrics"]["one"] == args.nprocs, results
+
+    print(json.dumps({
+        "ok": True,
+        "nprocs": args.nprocs,
+        "devices": r0["devices"],
+        "losses": r0["losses"],
+        "env_steps_per_s": r0["env_steps_per_s"],
+        "scripted_samples": r0["scripted_samples"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
