@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --fast: int8-quantized trunk")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (debug)")
+    # multi-host launch (one process per host; see parallel/distributed.py)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port")
+    p.add_argument("--nprocs", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--procid", type=int, default=None,
+                   help="multi-host: this process's id")
+    p.add_argument("--cpu-collectives", default=None,
+                   choices=["gloo", "mpi"],
+                   help="multi-host on CPU processes: collectives impl")
     return p
 
 
@@ -114,6 +124,11 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator is not None or args.nprocs is not None:
+        # must run before any backend initialization
+        from .parallel.distributed import initialize
+        initialize(args.coordinator, args.nprocs, args.procid,
+                   cpu_collectives=args.cpu_collectives)
 
     if args.mode == "bench":
         import bench

@@ -74,6 +74,48 @@ def host_local_batch(mesh: Mesh, make_local, global_batch: int,
     return jax.tree.map(assemble, local)
 
 
+def local_shards(tree):
+    """Host-local rows of globally-sharded arrays, as numpy.
+
+    For each leaf, concatenates this process's addressable shards along the
+    sharded axis in global order; replicated leaves return one copy;
+    fully-addressable arrays pass through.  This is how the trainer keeps
+    replay samples and win tallies host-local in a multi-process run: every
+    host extracts only ITS games from the global batch (the counterpart of
+    ``host_local_batch``).
+    """
+    def one(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return np.asarray(x)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: tuple(sl.start or 0 for sl in s.index))
+        if len(shards) == 1:
+            return np.asarray(shards[0].data)
+        axis = None
+        s0 = shards[0].index
+        s1 = shards[1].index
+        for i, (a, b) in enumerate(zip(s0, s1)):
+            if (a.start or 0) != (b.start or 0):
+                axis = i
+                break
+        if axis is None:          # replicated across local devices
+            return np.asarray(shards[0].data)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=axis)
+
+    return jax.tree.map(one, tree)
+
+
+def allgather_min(value) -> int:
+    """Minimum of a per-process scalar across the world."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.process_allgather(
+        np.asarray([value])).min())
+
+
 def allgather_metrics(values: dict) -> dict:
     """Sum scalar metrics across processes (win tallies, sample counts)."""
     if jax.process_count() == 1:

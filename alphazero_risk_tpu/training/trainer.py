@@ -44,10 +44,15 @@ class Trainer:
         # Data-parallel mesh: params replicated, game/sample batches sharded
         # over 'dp' (replaces the reference's per-GPU session replication +
         # checkpoint-file weight bus, alphazero_gpu_cluster.cpp:105-231).
+        # In a multi-process world (jax.distributed) the mesh is mandatory:
+        # games shard over all hosts' devices, replay stays host-local, and
+        # tallies/learner batches cross hosts via collectives.
+        self.world = jax.process_count()
         self.mesh = None
-        if use_mesh and len(jax.devices()) > 1:
+        if (use_mesh or self.world > 1) and len(jax.devices()) > 1:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh()
+        self._mh_step = None          # multihost learner step (lazy)
         self.net, self.tx, self.train_state = create_train_state(
             cfg, self._next_key())
         if self.mesh is not None:
@@ -188,6 +193,14 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _replay_path(self) -> str:
+        """Replay persistence path; per-process suffix in a multi-host run
+        (each host's buffer holds only its own games)."""
+        base = f"{self.cfg.data_dir}/training_samples"
+        if self.world > 1:
+            return f"{base}.p{jax.process_index()}.npz"
+        return f"{base}.npz"
+
     def _install_sigint_flush(self):
         """Flush the replay buffer to disk on Ctrl-C (reference SIGINT
         handler, alphazero_nn_data.cpp:140-152)."""
@@ -195,7 +208,7 @@ class Trainer:
 
         def handler(signum, frame):
             print("\n=> SIGINT: saving training samples.")
-            self.replay.save(f"{self.cfg.data_dir}/training_samples.npz")
+            self.replay.save(self._replay_path())
             raise KeyboardInterrupt
 
         signal.signal(signal.SIGINT, handler)
@@ -247,9 +260,23 @@ class Trainer:
                               sample_moves=False, record_all=record,
                               carry_in=carry, prev_in=prev)
 
+    def _local(self, tree):
+        """Host-local numpy rows of (possibly multi-process) global arrays."""
+        from ..parallel.distributed import local_shards
+
+        return local_shards(tree)
+
     def _episode_loop(self, chunk_call, state0) -> A.ActorOutput:
-        """Drive chunked episodes to completion (or the step cap)."""
+        """Drive chunked episodes to completion (or the step cap).
+
+        Multi-process: every chunk is one global SPMD dispatch; each host
+        then extracts only ITS games' samples/status (``local_shards``) and
+        the all-done check is agreed via allgather, so hosts stay in
+        lockstep on the number of dispatches.  The returned ``samples`` and
+        ``status`` are host-local; ``state`` stays global.
+        """
         from ..agents.script_agent import init_carry
+        from ..parallel.distributed import allgather_metrics
 
         b = state0.batch_size
         carry = init_carry(b)
@@ -261,10 +288,13 @@ class Trainer:
                        // self.cfg.actor_chunk_steps, 1)
         for _ in range(n_chunks):
             out = chunk_call(state, carry, prev, self._next_key())
-            chunks.append(jax.device_get(out.samples))
+            chunks.append(self._local(out.samples))
             state, carry, prev = out.state, out.carry, out.prev_player
-            status = np.asarray(out.status)
-            if (status != STATUS_NOT_ENDED).all():
+            status = self._local(out.status)
+            live = int((status == STATUS_NOT_ENDED).sum())
+            if self.world > 1:
+                live = int(allgather_metrics({"live": live})["live"])
+            if live == 0:
                 break
         samples = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=0), *chunks)
@@ -286,7 +316,7 @@ class Trainer:
             out = self._episode_loop(self._selfplay_call(), state0)
             added += self.replay.extend_from_actor(
                 out.samples, out.status,
-                final_round=jnp.asarray(out.state.round))
+                final_round=self._local(out.state.round))
             done_games += b
         self.logs.event("selfplay", games=done_games, samples=added,
                         buffer=len(self.replay))
@@ -297,6 +327,8 @@ class Trainer:
         """N shuffled epochs over the buffer (reference train,
         alphazero_nn.cpp:351-410)."""
         epochs = epochs or self.cfg.epochs
+        if self.world > 1:
+            return self._train_epochs_multihost(epochs)
         arrays = self.replay.sample_arrays()
         data = {k: jnp.asarray(v) for k, v in arrays.items()}
         pi_loss = v_loss = float("nan")
@@ -305,6 +337,62 @@ class Trainer:
                 self.train_state, data, self._next_key())
             pi_loss = float(metrics["pi_loss"])
             v_loss = float(metrics["v_loss"])
+            self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
+        return pi_loss, v_loss
+
+    def _train_epochs_multihost(self, epochs: int) -> Tuple[float, float]:
+        """Multi-process epochs: each host shuffles ITS local replay shard
+        and contributes batch_size/world samples per step; minibatches are
+        assembled into one global dp-sharded array and the gradient
+        all-reduce rides the XLA collectives — the distributed analog of
+        the reference's single-GPU ``train`` (alphazero_nn.cpp:351-410),
+        which had no gradient parallelism at all (SURVEY.md section 2)."""
+        from ..parallel import distributed as D
+        from ..parallel.mesh import batch_sharding, replicated
+        from .learner import make_update_fn
+
+        cfg = self.cfg
+        assert cfg.batch_size % self.world == 0, (cfg.batch_size, self.world)
+        bs_local = cfg.batch_size // self.world
+        n_local = D.allgather_min(len(self.replay))
+        steps = n_local // bs_local
+        if steps == 0:
+            return float("nan"), float("nan")
+
+        if self._mh_step is None:
+            update = make_update_fn(self.net, self.tx, cfg)
+
+            def step_fn(state, mb):
+                batch = self._prepare_batch(
+                    mb, jnp.arange(cfg.batch_size))
+                return update(state, batch)
+
+            self._mh_step = jax.jit(
+                step_fn,
+                in_shardings=(replicated(self.mesh),
+                              batch_sharding(self.mesh)),
+                out_shardings=(replicated(self.mesh),
+                               replicated(self.mesh)))
+
+        data = self.replay.sample_arrays()
+        rng = np.random.default_rng(
+            int(jax.random.randint(self._next_key(), (), 0,
+                                   np.iinfo(np.int32).max))
+            + jax.process_index())
+        pi_loss = v_loss = float("nan")
+        for e in range(epochs):
+            perm = rng.permutation(n_local)
+            pi_sum = v_sum = 0.0
+            for s in range(steps):
+                idx = perm[s * bs_local:(s + 1) * bs_local]
+                mb = D.host_local_batch(
+                    self.mesh, lambda lb: {k: v[idx] for k, v in
+                                           data.items()}, cfg.batch_size)
+                self.train_state, metrics = self._mh_step(
+                    self.train_state, mb)
+                pi_sum += float(metrics["pi_loss"])
+                v_sum += float(metrics["v_loss"])
+            pi_loss, v_loss = pi_sum / steps, v_sum / steps
             self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
         return pi_loss, v_loss
 
@@ -318,6 +406,8 @@ class Trainer:
         cfg = self.cfg
         if revert_on_fail is None:
             revert_on_fail = cfg.training_revert_model
+        # (multi-process: every host sees the same global tallies, so the
+        # accept/revert decision is identical everywhere)
         if cfg.compare_games <= 0:
             self._accept()
             return True
@@ -332,22 +422,41 @@ class Trainer:
         if cfg.include_compare_games_train_samples:
             self.replay.extend_from_actor(
                 out.samples, out.status,
-                final_round=jnp.asarray(out.state.round))
+                final_round=self._local(out.state.round))
         status = np.asarray(out.status)
-        started = np.asarray(state0.cur_player)
-        new_wins = int((status == 0).sum())
-        old_wins = int((status == 1).sum())
-        draws = int((status == -2).sum())
+        started = self._local(state0.cur_player)
+        tally = self._global_tally(status, started)
+        new_wins = tally["p0_wins"]
+        old_wins = tally["p1_wins"]
+        draws = tally["draws"]
         self.logs.log_improvement(
-            self.iteration, draws, new_wins,
-            int(((status == 0) & (started == 0)).sum()), old_wins,
-            int(((status == 1) & (started == 1)).sum()))
+            self.iteration, draws, new_wins, tally["p0_win_started"],
+            old_wins, tally["p1_win_started"])
         improved = new_wins >= (new_wins + old_wins) * cfg.compare_threshold
         if improved:
             self._accept()
         elif revert_on_fail:
             self._revert()
         return improved
+
+    def _global_tally(self, status: np.ndarray, started: np.ndarray
+                      ) -> dict:
+        """Win/draw tallies from host-local status rows, summed across the
+        world (single-process: plain local counts)."""
+        from ..parallel.distributed import allgather_metrics
+
+        t = {
+            "games": int(status.shape[0]),
+            "p0_wins": int((status == 0).sum()),
+            "p1_wins": int((status == 1).sum()),
+            "draws": int((status == -2).sum()),
+            "unfinished": int((status == STATUS_NOT_ENDED).sum()),
+            "p0_win_started": int(((status == 0) & (started == 0)).sum()),
+            "p1_win_started": int(((status == 1) & (started == 1)).sum()),
+        }
+        if self.world > 1:
+            t = {k: int(v) for k, v in allgather_metrics(t).items()}
+        return t
 
     def _accept(self):
         self.gen_params = self.train_state.params
@@ -373,17 +482,8 @@ class Trainer:
             out = self._episode_loop(
                 self._versus_call(self.gen_params, self.gen_batch_stats,
                                   opp, record=False), state0)
-            status = np.asarray(out.status)
-            results.append({
-                "games": int(status.shape[0]),
-                "p0_wins": int((status == 0).sum()),
-                "p1_wins": int((status == 1).sum()),
-                "draws": int((status == -2).sum()),
-                "p0_win_started": int(((status == 0) & (
-                    np.asarray(state0.cur_player) == 0)).sum()),
-                "p1_win_started": int(((status == 1) & (
-                    np.asarray(state0.cur_player) == 1)).sum()),
-            })
+            results.append(self._global_tally(
+                np.asarray(out.status), self._local(state0.cur_player)))
         self.logs.log_benchmark(self.iteration, results[0], results[1])
         return results
 
@@ -397,7 +497,7 @@ class Trainer:
             self.train_state = self.ckpt.restore("latest", self.train_state)
             self.gen_params = self.train_state.params
             self.gen_batch_stats = self.train_state.batch_stats
-            self.replay.load(f"{cfg.data_dir}/training_samples.npz")
+            self.replay.load(self._replay_path())
         self._install_sigint_flush()
         for self.iteration in range(iterations or cfg.train_iterations):
             t0 = time.time()
@@ -410,7 +510,7 @@ class Trainer:
                     self.benchmark()
             self.logs.event("iteration", n=self.iteration,
                             seconds=time.time() - t0)
-        self.replay.save(f"{cfg.data_dir}/training_samples.npz")
+        self.replay.save(self._replay_path())
 
     def train_on_script(self, iterations: Optional[int] = None):
         """Generate data by playing AZ vs ScriptPlayer instead of self-play
@@ -429,13 +529,13 @@ class Trainer:
                                       A.OPP_SCRIPT, record=True), state0)
                 self.replay.extend_from_actor(
                     out.samples, out.status,
-                    final_round=jnp.asarray(out.state.round))
+                    final_round=self._local(out.state.round))
                 done += b
             self.replay.trim()
             self.train_epochs()
             if self.gate():
                 self.replay.mark_old_games()
-        self.replay.save(f"{cfg.data_dir}/training_samples.npz")
+        self.replay.save(self._replay_path())
 
     def play(self, opponent: int, games: int, use_best: bool = False):
         """Evaluation matches AZ vs script/random (reference executePlay,
@@ -450,19 +550,8 @@ class Trainer:
             out = self._episode_loop(
                 self._versus_call(self.gen_params, self.gen_batch_stats,
                                   opponent, record=False), state0)
-            status = np.asarray(out.status)
-            started = np.asarray(state0.cur_player)
-            part = {
-                "games": int(status.shape[0]),
-                "p0_wins": int((status == 0).sum()),
-                "p1_wins": int((status == 1).sum()),
-                "draws": int((status == -2).sum()),
-                "unfinished": int((status == -1).sum()),
-                "p0_win_started": int(((status == 0) & (started == 0)
-                                       ).sum()),
-                "p1_win_started": int(((status == 1) & (started == 1)
-                                       ).sum()),
-            }
+            part = self._global_tally(np.asarray(out.status),
+                                      self._local(state0.cur_player))
             totals = part if totals is None else {
                 k: totals[k] + part[k] for k in part}
             done += b
@@ -485,19 +574,8 @@ class Trainer:
                     self.train_state.params, self.train_state.batch_stats,
                     other.params, other.batch_stats),
                 state0)
-            status = np.asarray(out.status)
-            started = np.asarray(state0.cur_player)
-            part = {
-                "games": int(status.shape[0]),
-                "p0_wins": int((status == 0).sum()),
-                "p1_wins": int((status == 1).sum()),
-                "draws": int((status == -2).sum()),
-                "unfinished": int((status == -1).sum()),
-                "p0_win_started": int(((status == 0) & (started == 0)
-                                       ).sum()),
-                "p1_win_started": int(((status == 1) & (started == 1)
-                                       ).sum()),
-            }
+            part = self._global_tally(np.asarray(out.status),
+                                      self._local(state0.cur_player))
             totals = part if totals is None else {
                 k: totals[k] + part[k] for k in part}
             done += b
@@ -524,7 +602,7 @@ class Trainer:
                             st, c, pr, k, kinds), state0)
                     fresh.extend_from_actor(
                         out.samples, out.status,
-                        final_round=jnp.asarray(out.state.round))
+                        final_round=self._local(out.state.round))
                     done += b
             self.replay = fresh
             self.train_epochs(epochs=3)

@@ -45,9 +45,19 @@ def main():
     ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--revert", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="revert to last accepted weights on a failed gate "
+                    "(reference train mode); default keeps training and "
+                    "gates only the promotion of the self-play model "
+                    "(reference train-data mode)")
+    ap.add_argument("--load-replay", default=None,
+                    help="preload a saved replay buffer (npz)")
     args = ap.parse_args()
 
     init_ckpt = os.path.abspath(args.init_ckpt)
+    load_replay = (os.path.abspath(args.load_replay)
+                   if args.load_replay else None)
     os.makedirs(args.out, exist_ok=True)
     os.chdir(args.out)
 
@@ -83,6 +93,10 @@ def main():
     t.gen_params = t.train_state.params
     t.gen_batch_stats = t.train_state.batch_stats
     t.ckpt.save("best", t.train_state)   # starting point = current best
+    if load_replay:
+        loaded = t.replay.load(load_replay)
+        print(f"replay preload {load_replay}: "
+              f"{len(t.replay)} samples (found={loaded})", flush=True)
     t._install_sigint_flush()
     print(f"finetune: {args.iters} iters from {args.init_role}, "
           f"blocks={cfg.blocks} mcts={cfg.mcts_simulations} "
@@ -101,11 +115,12 @@ def main():
         t_train = time.time() - t1
 
         t2 = time.time()
-        improved = t.gate(revert_on_fail=True)
+        improved = t.gate(revert_on_fail=args.revert)
         t_gate = time.time() - t2
         if improved:
             accepted += 1
             t.replay.mark_old_games()
+        t.ckpt.save("latest", t.train_state)
 
         rec = {
             "iter": it, "samples_added": added, "buffer": len(t.replay),

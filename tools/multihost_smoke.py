@@ -140,6 +140,39 @@ def worker(args) -> None:
     # ---- cross-process metric aggregation ----
     agg = D.allgather_metrics({"contrib": pid + 1, "one": 1})
 
+    # ---- mini end-to-end Trainer loop across processes ----
+    # One train-data loop (scripted generation -> epochs -> gating arena
+    # with collective checkpoint saves) + one self-play iteration.  Replay
+    # buffers stay host-local; losses and the gate decision are global and
+    # must agree on every process.
+    import tempfile
+
+    from alphazero_risk_tpu.training.trainer import Trainer
+
+    shared_ckpt = os.path.join(tempfile.gettempdir(),
+                               f"mh_ckpt_{args.port}")
+    scratch = tempfile.mkdtemp(prefix=f"mh_p{pid}_")
+    tcfg = Config(
+        blocks=1, filters=16, value_hidden=16,
+        mcts_simulations=2, max_depth=6,
+        batch_size=32, env_batch_per_device=4,
+        data_games_ss=4, data_games_sr=0,
+        samples_storage_min_batches=1, samples_storage_max_batches=64,
+        compare_games=4, epochs=1,
+        max_game_steps=384, actor_chunk_steps=48,
+        train_iteration_games=4,
+        checkpoint_dir=shared_ckpt,
+        data_dir=os.path.join(scratch, "data"),
+        log_dir=os.path.join(scratch, "log"))
+    t = Trainer(tcfg, seed=5)
+    assert t.mesh is not None and t.world == args.nprocs
+    t.train_on_data(loops=1, do_benchmark=False)
+    pi0, v0 = t.train_epochs(epochs=1)
+    t.generate_selfplay(4)
+    t.replay.trim()
+    pi1, v1 = t.train_epochs(epochs=1)
+    improved = t.gate()
+
     print("MHJSON " + json.dumps({
         "pid": pid,
         "world": jax.process_count(),
@@ -149,6 +182,13 @@ def worker(args) -> None:
         "env_steps_per_s": round(gb * n_env_steps / env_dt),
         "scripted_samples": n_valid,
         "metrics": agg,
+        "trainer": {
+            "buffer_local": len(t.replay),
+            "pi_loss": [round(pi0, 6), round(pi1, 6)],
+            "v_loss": [round(v0, 6), round(v1, 6)],
+            "gate_improved": bool(improved),
+            "ckpt_best": t.ckpt.exists("best") or not improved,
+        },
     }), flush=True)
 
 
@@ -168,28 +208,43 @@ def main():
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={args.local_devices}")
+    import tempfile
+
+    outdir = tempfile.mkdtemp(prefix="mh_logs_")
+    outfiles = [os.path.join(outdir, f"w{i}.log")
+                for i in range(args.nprocs)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(i), "--nprocs", str(args.nprocs),
              "--local-devices", str(args.local_devices),
              "--port", str(args.port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            text=True)
+            stdout=open(outfiles[i], "w"), stderr=subprocess.STDOUT,
+            env=env, text=True)
         for i in range(args.nprocs)
     ]
     deadline = time.time() + args.timeout
     results, logs = [], []
-    for p in procs:
-        out, _ = p.communicate(timeout=max(1, deadline - time.time()))
-        logs.append(out)
-        if p.returncode != 0:
-            for line in logs:
-                print(line)
-            raise SystemExit(f"worker failed rc={p.returncode}")
-        for line in out.splitlines():
-            if line.startswith("MHJSON "):
-                results.append(json.loads(line[len("MHJSON "):]))
+    try:
+        for i, p in enumerate(procs):
+            try:
+                p.wait(timeout=max(1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                raise SystemExit(
+                    f"worker {i} timed out; logs in {outdir}")
+            out = open(outfiles[i]).read()
+            logs.append(out)
+            if p.returncode != 0:
+                for line in logs:
+                    print(line)
+                raise SystemExit(f"worker failed rc={p.returncode}")
+            for line in out.splitlines():
+                if line.startswith("MHJSON "):
+                    results.append(json.loads(line[len("MHJSON "):]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     assert len(results) == args.nprocs, (len(results), logs)
     r0 = results[0]
@@ -203,6 +258,13 @@ def main():
         assert r["army_sum"] == r0["army_sum"], results
         assert r["metrics"]["contrib"] == expect_sum, results
         assert r["metrics"]["one"] == args.nprocs, results
+        assert r["trainer"]["pi_loss"] == r0["trainer"]["pi_loss"], (
+            "learner losses diverged across processes", results)
+        assert r["trainer"]["v_loss"] == r0["trainer"]["v_loss"], results
+        assert (r["trainer"]["gate_improved"]
+                == r0["trainer"]["gate_improved"]), results
+        assert r["trainer"]["buffer_local"] > 0, results
+        assert r["trainer"]["ckpt_best"], results
 
     print(json.dumps({
         "ok": True,
@@ -211,6 +273,7 @@ def main():
         "losses": r0["losses"],
         "env_steps_per_s": r0["env_steps_per_s"],
         "scripted_samples": r0["scripted_samples"],
+        "trainer": r0["trainer"],
     }))
 
 
