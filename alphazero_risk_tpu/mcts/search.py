@@ -413,15 +413,18 @@ def search_with_reuse(root_state: GameState, key: jax.Array, cfg: Config,
     (or whose carried root state went stale) fall back to a fresh tree."""
     fresh = init_tree(root_state, cfg, eval_fn)
     rows = jnp.arange(root_state.batch_size)
-    # sanity: carried root must be the actual state (cheap army/owner check)
-    same = reused
+    # staleness check: the carried root must equal the actual state in
+    # EVERY field (the reference reuses only exact transposition-table
+    # hits, alphazero_mcts.cpp:229-245) — a partial check would silently
+    # search a tree whose cards/mobilization context diverged.
     carried = _gather_state(prev_tree.states, prev_tree.root)
-    same = same & (carried.army == root_state.army).all(-1)
-    same = same & (carried.owner == root_state.owner).all(-1)
-    same = same & (carried.phase == root_state.phase)
-    same = same & (carried.reinforcements == root_state.reinforcements)
-    same = same & (carried.cur_player == root_state.cur_player)
-    same = same & (carried.round == root_state.round)
+
+    def eq(a, b):
+        d = a == b
+        return d.reshape(d.shape[0], -1).all(-1)
+
+    same_leaves = jax.tree.leaves(jax.tree.map(eq, carried, root_state))
+    same = functools.reduce(jnp.logical_and, same_leaves, reused)
     tree = tree_select(same, prev_tree, fresh)
 
     def body(i, carry):

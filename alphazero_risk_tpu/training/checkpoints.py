@@ -8,6 +8,7 @@ exist only for persistence/resume.  Uses orbax-checkpoint.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -35,13 +36,44 @@ class CheckpointManager:
         """Restore into the structure of ``target``; returns target when the
         checkpoint does not exist (reference inits fresh weights then,
         alphazero_nn.cpp:197-202)."""
-        path = self._path(role)
-        if not os.path.exists(path):
+        if not self.exists(role):
             import sys
-            print(f"[checkpoints] no '{role}' checkpoint at {path}; "
-                  f"using fresh weights", file=sys.stderr)
+            print(f"[checkpoints] no '{role}' checkpoint at "
+                  f"{self._path(role)}; using fresh weights",
+                  file=sys.stderr)
             return target
-        return self._ckpt.restore(path, target)
+        return self._ckpt.restore(self._path(role), target)
 
     def exists(self, role: str) -> bool:
-        return os.path.exists(self._path(role))
+        """Checkpoint existence, agreed across the process world: on a pod
+        without a shared filesystem a host-local check would silently
+        desync (some hosts restore, others init fresh).  checkpoint_dir
+        must be shared in multi-host runs — this assert catches it."""
+        local = os.path.exists(self._path(role))
+        import jax
+        if jax.process_count() > 1:
+            from ..parallel.distributed import allgather_min
+            world_min = allgather_min(int(local))
+            world_max = -allgather_min(-int(local))
+            assert world_min == world_max, (
+                f"checkpoint '{role}' exists on some hosts but not others "
+                f"— checkpoint_dir must be a shared filesystem")
+            return bool(world_min)
+        return local
+
+    # ---- sidecar metadata: {iteration, rng key, ...} so resume continues
+    # numbering and does not replay identical game deals
+    # (completes the reference's restart-the-binary resume,
+    # alphazero_trainer.cpp:14-15) ----
+    def save_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+
+    def load_meta(self) -> Optional[dict]:
+        path = os.path.join(self.dir, "meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)

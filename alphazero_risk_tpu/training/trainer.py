@@ -17,6 +17,7 @@ intent of TRAINING_REVERT_MODEL.
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Optional, Tuple
 
@@ -193,6 +194,26 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _game_unit(self) -> int:
+        """Games run in mirrored pairs and shard over every device of the
+        active mesh, so counts are multiples of lcm(2, n_devices)."""
+        unit = 2
+        if self.mesh is not None:
+            n = int(self.mesh.devices.size)
+            unit = n * 2 // math.gcd(n, 2)
+        return unit
+
+    def _round_games(self, games: int) -> int:
+        """Normalize a requested game count ONCE at entry so reported
+        tallies match the number actually played (waves never re-pad)."""
+        unit = self._game_unit()
+        return -(-games // unit) * unit
+
+    def _wave_batch(self, remaining: int) -> int:
+        unit = self._game_unit()
+        cap = max(self.cfg.env_batch_per_device // unit, 1) * unit
+        return min(cap, remaining)
+
     def _replay_path(self) -> str:
         """Replay persistence path; per-process suffix in a multi-host run
         (each host's buffer holds only its own games)."""
@@ -228,7 +249,10 @@ class Trainer:
         return state0
 
     def _prepare_batch(self, data, idx):
-        sub = jax.tree.map(lambda x: x[idx], data)
+        if idx is None:
+            sub = data
+        else:
+            sub = jax.tree.map(lambda x: x[idx], data)
         sb = A.SampleBatch(valid=None, **{k: sub[k] for k in sub})
         return {
             "features": A.features_of_samples(sb, self.cfg),
@@ -305,13 +329,11 @@ class Trainer:
     def generate_selfplay(self, games: Optional[int] = None) -> int:
         """One generation phase (reference generateTrainData,
         alphazero_trainer.cpp:36-78)."""
-        games = games or self.cfg.train_iteration_games
+        games = self._round_games(games or self.cfg.train_iteration_games)
         added = 0
-        per_wave = min(games, self.cfg.env_batch_per_device)
         done_games = 0
         while done_games < games:
-            b = min(per_wave, games - done_games)
-            b += b % 2
+            b = self._wave_batch(games - done_games)
             state0 = self._initial_states(b)
             out = self._episode_loop(self._selfplay_call(), state0)
             added += self.replay.extend_from_actor(
@@ -354,8 +376,12 @@ class Trainer:
         cfg = self.cfg
         assert cfg.batch_size % self.world == 0, (cfg.batch_size, self.world)
         bs_local = cfg.batch_size // self.world
-        n_local = D.allgather_min(len(self.replay))
-        steps = n_local // bs_local
+        # Steps from the global MIN buffer length (hosts must dispatch in
+        # lockstep), but each host shuffles its FULL local buffer and
+        # truncates — otherwise hosts with more samples than the min would
+        # only ever train on their oldest rows (replay appends at the end).
+        n_min = D.allgather_min(len(self.replay))
+        steps = n_min // bs_local
         if steps == 0:
             return float("nan"), float("nan")
 
@@ -363,8 +389,10 @@ class Trainer:
             update = make_update_fn(self.net, self.tx, cfg)
 
             def step_fn(state, mb):
-                batch = self._prepare_batch(
-                    mb, jnp.arange(cfg.batch_size))
+                # idx=None: the minibatch is already assembled and
+                # dp-sharded; an identity gather here would force GSPMD to
+                # reshard the whole batch every step.
+                batch = self._prepare_batch(mb, None)
                 return update(state, batch)
 
             self._mh_step = jax.jit(
@@ -381,7 +409,7 @@ class Trainer:
             + jax.process_index())
         pi_loss = v_loss = float("nan")
         for e in range(epochs):
-            perm = rng.permutation(n_local)
+            perm = rng.permutation(len(self.replay))[:steps * bs_local]
             pi_sum = v_sum = 0.0
             for s in range(steps):
                 idx = perm[s * bs_local:(s + 1) * bs_local]
@@ -411,21 +439,25 @@ class Trainer:
         if cfg.compare_games <= 0:
             self._accept()
             return True
-        b = min(cfg.compare_games, cfg.env_batch_per_device)
-        b += b % 2
-        state0 = self._initial_states(b)
-        out = self._episode_loop(
-            self._arena_call(
-                self.train_state.params, self.train_state.batch_stats,
-                self.gen_params, self.gen_batch_stats),
-            state0)
-        if cfg.include_compare_games_train_samples:
-            self.replay.extend_from_actor(
-                out.samples, out.status,
-                final_round=self._local(out.state.round))
-        status = np.asarray(out.status)
-        started = self._local(state0.cur_player)
-        tally = self._global_tally(status, started)
+        games = self._round_games(cfg.compare_games)
+        arena = self._arena_call(
+            self.train_state.params, self.train_state.batch_stats,
+            self.gen_params, self.gen_batch_stats)
+        tally = None
+        done = 0
+        while done < games:
+            b = self._wave_batch(games - done)
+            state0 = self._initial_states(b)
+            out = self._episode_loop(arena, state0)
+            if cfg.include_compare_games_train_samples:
+                self.replay.extend_from_actor(
+                    out.samples, out.status,
+                    final_round=self._local(out.state.round))
+            part = self._global_tally(np.asarray(out.status),
+                                      self._local(state0.cur_player))
+            tally = part if tally is None else {
+                k: tally[k] + part[k] for k in part}
+            done += b
         new_wins = tally["p0_wins"]
         old_wins = tally["p1_wins"]
         draws = tally["draws"]
@@ -476,30 +508,49 @@ class Trainer:
         results = []
         for opp, games in ((A.OPP_RANDOM, cfg.benchmark_games_random),
                            (A.OPP_SCRIPT, cfg.benchmark_games_script)):
-            b = max(2, min(games, cfg.env_batch_per_device))
-            b += b % 2
-            state0 = self._initial_states(b)
-            out = self._episode_loop(
-                self._versus_call(self.gen_params, self.gen_batch_stats,
-                                  opp, record=False), state0)
-            results.append(self._global_tally(
-                np.asarray(out.status), self._local(state0.cur_player)))
+            results.append(self.play(opp, games))
         self.logs.log_benchmark(self.iteration, results[0], results[1])
         return results
 
     # ------------------------------------------------------------------
+    def _save_meta(self):
+        self.ckpt.save_meta({
+            "iteration": self.iteration + 1,
+            "key": np.asarray(self.key).tolist(),
+        })
+
+    def _restore_meta(self) -> int:
+        """Restore {iteration, rng key}; returns the start iteration.
+        Without this a restart would overwrite iter-N checkpoints from 0
+        and reseed identically, replaying the same game deals."""
+        meta = self.ckpt.load_meta()
+        if not meta:
+            return 0
+        self.key = jnp.asarray(meta["key"], jnp.uint32)
+        return int(meta["iteration"])
+
     def train(self, iterations: Optional[int] = None,
               resume: bool = True, do_benchmark: bool = True):
         """Full AlphaZero loop (reference train, alphazero_trainer.cpp:12-34).
-        """
+        ``iterations`` = number of iterations to run THIS call; on resume
+        the iteration counter continues from the persisted value."""
         cfg = self.cfg
+        start = 0
         if resume:
             self.train_state = self.ckpt.restore("latest", self.train_state)
-            self.gen_params = self.train_state.params
-            self.gen_batch_stats = self.train_state.batch_stats
+            # actor weights = last *accepted* model
+            if self.ckpt.exists("best"):
+                best = self.ckpt.restore("best", self.train_state)
+                self.gen_params = best.params
+                self.gen_batch_stats = best.batch_stats
+            else:
+                self.gen_params = self.train_state.params
+                self.gen_batch_stats = self.train_state.batch_stats
             self.replay.load(self._replay_path())
+            start = self._restore_meta()
         self._install_sigint_flush()
-        for self.iteration in range(iterations or cfg.train_iterations):
+        n = iterations or cfg.train_iterations
+        for self.iteration in range(start, start + n):
             t0 = time.time()
             self.generate_selfplay()
             self.replay.trim()
@@ -510,6 +561,8 @@ class Trainer:
                     self.benchmark()
             self.logs.event("iteration", n=self.iteration,
                             seconds=time.time() - t0)
+            self.ckpt.save("latest", self.train_state)
+            self._save_meta()
         self.replay.save(self._replay_path())
 
     def train_on_script(self, iterations: Optional[int] = None):
@@ -517,11 +570,10 @@ class Trainer:
         (reference trainOnScript, alphazero_trainer.cpp:200-225)."""
         cfg = self.cfg
         for self.iteration in range(iterations or cfg.train_iterations):
-            games = cfg.train_iteration_games * 2
+            games = self._round_games(cfg.train_iteration_games * 2)
             done = 0
             while done < games:
-                b = min(cfg.env_batch_per_device, games - done)
-                b += b % 2
+                b = self._wave_batch(games - done)
                 state0 = self._initial_states(b)
                 out = self._episode_loop(
                     self._versus_call(self.train_state.params,
@@ -540,12 +592,11 @@ class Trainer:
     def play(self, opponent: int, games: int, use_best: bool = False):
         """Evaluation matches AZ vs script/random (reference executePlay,
         alphazero_risk.cpp:4-47).  Returns a results summary."""
-        cfg = self.cfg
+        games = self._round_games(games)
         totals = None
         done = 0
         while done < games:
-            b = min(cfg.env_batch_per_device, games - done)
-            b += b % 2
+            b = self._wave_batch(games - done)
             state0 = self._initial_states(b)
             out = self._episode_loop(
                 self._versus_call(self.gen_params, self.gen_batch_stats,
@@ -561,13 +612,12 @@ class Trainer:
         """AZ-vs-AZ matches between the loaded model (seat 0) and another
         checkpoint role (seat 1), argmax moves, mirrored pairs (reference
         executePlay with -p1 az -p2 az, alphazero_risk.cpp:4-47)."""
-        cfg = self.cfg
         other = self.ckpt.restore(other_role, self.train_state)
+        games = self._round_games(games)
         totals = None
         done = 0
         while done < games:
-            b = min(cfg.env_batch_per_device, games - done)
-            b += b % 2
+            b = self._wave_batch(games - done)
             state0 = self._initial_states(b)
             out = self._episode_loop(
                 self._arena_call(
@@ -592,10 +642,10 @@ class Trainer:
                                   cfg.data_games_ss),
                                  ((A.OPP_SCRIPT, A.OPP_RANDOM),
                                   cfg.data_games_sr)):
+                games = self._round_games(games)
                 done = 0
                 while done < games:
-                    b = min(cfg.env_batch_per_device, games - done)
-                    b += b % 2
+                    b = self._wave_batch(games - done)
                     state0 = self._initial_states(b)
                     out = self._episode_loop(
                         lambda st, c, pr, k: self._scripted_chunk(

@@ -23,3 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 
 assert not jax._src.xla_bridge._backends, (
     "JAX backends initialized before conftest could force CPU")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running validation (multi-process world, large-scale "
+        "cross-engine games); skipped unless AZR_RUN_SLOW=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if os.environ.get("AZR_RUN_SLOW") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow; set AZR_RUN_SLOW=1 or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -19,13 +19,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "multihost_smoke.py")
 
 
+def _free_port() -> int:
+    """A currently-free TCP port (avoids collisions between concurrent
+    test runs / TIME_WAIT leftovers of earlier ones)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("nprocs,local", [(2, 2)])
 def test_multihost_world(nprocs, local):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     out = subprocess.run(
         [sys.executable, TOOL, "--nprocs", str(nprocs),
-         "--local-devices", str(local), "--port", "12761",
+         "--local-devices", str(local), "--port", str(_free_port()),
          "--timeout", "560"],
         capture_output=True, text=True, timeout=580, env=env)
     assert out.returncode == 0, out.stdout + out.stderr

@@ -94,6 +94,28 @@ def test_trainer_iteration(tmp_path):
         assert t.ckpt.exists("best")
 
 
+def test_trainer_resume_mid_train(tmp_path):
+    """Restart-mid-train: iteration numbering continues, the RNG key is
+    NOT reseeded identically, and weights/replay round-trip
+    (trainer meta sidecar; completes the reference's restart-the-binary
+    resume, alphazero_trainer.cpp:14-15)."""
+    os.chdir(tmp_path)
+    cfg = TINY.replace(compare_games=0)   # gate always accepts
+    t = Trainer(cfg, seed=0)
+    t.train(iterations=2, resume=False, do_benchmark=False)
+    key_after = np.asarray(t.key).tolist()
+    assert t.ckpt.exists("iter-1")
+
+    t2 = Trainer(cfg, seed=0)
+    key_fresh = np.asarray(t2.key).tolist()
+    t2.train(iterations=1, resume=True, do_benchmark=False)
+    # continued numbering: next checkpoint role is iter-2, not iter-0
+    assert t2.ckpt.exists("iter-2")
+    # the restored key is the persisted mid-train key, not the seed
+    assert key_after != key_fresh
+    assert len(t2.replay) > 0            # replay restored
+
+
 def test_learner_loss_decreases(tmp_path):
     os.chdir(tmp_path)
     t = Trainer(TINY, seed=1)
