@@ -390,7 +390,11 @@ def step(s: OracleState, action: int, dice: List[int],
                 comp = _component(s, p, action)
                 best_int, from_int = 0, -1
                 best_ext, from_ext = 0, -1
-                for l in sorted(comp):
+                # Reference iterates the flood fill's DFS PRE-ORDER rooted
+                # at the lowest-index land of the component and keeps the
+                # first strict max (game_helper.cpp:51-105,
+                # alphazero_moves.cpp:188-221).
+                for l in _dfs_preorder(s, p, min(comp)):
                     if l == action:
                         continue
                     value = s.army[l] - 1
@@ -421,3 +425,20 @@ def _component(s: OracleState, p: int, src: int) -> set:
                 seen.add(n)
                 stack.append(n)
     return seen
+
+
+def _dfs_preorder(s: OracleState, p: int, root: int) -> list:
+    """Recursive flood-fill visit order (reference
+    GameHelper::LandSetMovement::add, game_helper.cpp:51-82)."""
+    order, seen = [], set()
+
+    def visit(l):
+        if s.owner[l] != p or l in seen:
+            return
+        seen.add(l)
+        order.append(l)
+        for n in NEIGHBORS[l]:
+            visit(n)
+
+    visit(root)
+    return order

@@ -19,11 +19,11 @@ Design notes (vs the reference):
     oracle tests and the MCTS chance nodes need.  Under simple_cards
     (the reference's default build) dice are the *only* in-game randomness.
   * Tie-breaks that the reference resolves by neighbour-list iteration order
-    are reproduced exactly via ``NEIGHBOR_RANK``.  The fortify-source
-    tie-break (reference: DFS pre-order of the flood fill,
-    game_helper.cpp:51-82) is replaced by lowest-land-index — a documented
-    deviation that only matters when two candidate sources have exactly equal
-    armies.
+    are reproduced exactly via ``NEIGHBOR_RANK``, including the
+    fortify-source tie-break (DFS pre-order of the recursive flood fill,
+    game_helper.cpp:51-82 — see ``dfs_preorder_rank``).  Transitions are
+    bit-exact vs the reference's own compiled rules code over full games
+    (tests/test_refparity.py).
 """
 
 from __future__ import annotations
@@ -651,6 +651,55 @@ def component_labels(owned: jax.Array) -> jax.Array:
     return jnp.where(owned, lbl, idx)
 
 
+def dfs_preorder_rank(owned: jax.Array, root: jax.Array) -> jax.Array:
+    """[B,42] DFS pre-order rank within the flood-fill component of
+    ``root`` (reference ``GameHelper::LandSetMovement::add``,
+    game_helper.cpp:51-82: recursive visit, neighbours in declaration
+    order).  Rank 0 = root; NUM_LANDS outside the component.
+
+    The reference's fortify-source selection keeps the FIRST strict
+    maximum while iterating this pre-order (alphazero_moves.cpp:188-221),
+    so exact trajectory parity needs the rank, not just membership.
+    Stackless DFS: advance to the first unvisited owned neighbour (by
+    NEIGHBOR_RANK), else backtrack via parent pointers — total iterations
+    bounded by 2x the largest component in the batch.
+    """
+    b = owned.shape[0]
+    rows = jnp.arange(b)
+    idx = jnp.arange(NUM_LANDS, dtype=jnp.int32)[None, :]
+    at_root = owned[rows, root]
+    visited = (idx == root[:, None]) & owned
+    rank = jnp.where(visited, 0, NUM_LANDS).astype(jnp.int32)
+    parent = jnp.full((b, NUM_LANDS), -1, jnp.int32)
+    cur = jnp.where(at_root, root, -1).astype(jnp.int32)
+    count = at_root.astype(jnp.int32)
+
+    def cond(c):
+        cur = c[0]
+        return (cur >= 0).any()
+
+    def body(c):
+        cur, visited, rank, parent, count = c
+        active = cur >= 0
+        cs = jnp.maximum(cur, 0)
+        nbr = ADJ[cs] & owned & ~visited
+        has = nbr.any(-1) & active
+        r = jnp.where(nbr, NEIGHBOR_RANK[cs], topology.MAX_DEGREE)
+        nxt = jnp.argmin(r, axis=-1).astype(jnp.int32)
+        new_cur = jnp.where(has, nxt,
+                            jnp.where(active, parent[rows, cs], -1))
+        hit = has[:, None] & (idx == nxt[:, None])
+        return (new_cur.astype(jnp.int32),
+                visited | hit,
+                jnp.where(hit, count[:, None], rank),
+                jnp.where(hit, cs[:, None], parent),
+                count + has.astype(jnp.int32))
+
+    _, _, rank, _, _ = jax.lax.while_loop(
+        cond, body, (cur, visited, rank, parent, count))
+    return rank
+
+
 # ---------------------------------------------------------------------------
 # step
 # ---------------------------------------------------------------------------
@@ -729,7 +778,14 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     border = cand & has_enemy_neighbor
     use_interior = interior.any(-1)
     pick_from_mask = jnp.where(use_interior[:, None], interior, border)
-    score = jnp.where(pick_from_mask, state.army, -1)
+    # First-strict-max over the reference's DFS pre-order: max army,
+    # ties broken by earliest pre-order position (the reference iterates
+    # lsm.landSet and keeps the first strict max, alphazero_moves.cpp:
+    # 188-221; pre-order per game_helper.cpp:51-82 rooted at the lowest-
+    # index land of the component, game_helper.cpp:90-105).
+    pre_rank = dfs_preorder_rank(masks.owned, first_set_bit(comp))
+    score = jnp.where(pick_from_mask,
+                      state.army * 64 + (NUM_LANDS - pre_rank), -1)
     f_from = jnp.argmax(score, axis=-1)
     can_move = pick_from_mask.any(-1) & ~target_full & ~is_skip
     famount = jnp.minimum(state.army[rows, f_from] - 1,

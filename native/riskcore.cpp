@@ -252,6 +252,38 @@ void component_of(const RiskState& s, int p, int src, bool out[NUM_LANDS]) {
   }
 }
 
+// Recursive flood-fill visit order (reference
+// GameHelper::LandSetMovement::add, game_helper.cpp:51-82): pre-order,
+// neighbours in declaration order.  Iterative with an explicit frame
+// stack to keep the exact recursive ordering.
+void dfs_preorder(const RiskState& s, int p, int root, int out[NUM_LANDS],
+                  int* n_out) {
+  *n_out = 0;
+  if (root < 0 || s.owner[root] != p) return;
+  bool seen[NUM_LANDS] = {false};
+  int node[NUM_LANDS], edge[NUM_LANDS], top = 0;
+  seen[root] = true;
+  out[(*n_out)++] = root;
+  node[top] = root;
+  edge[top] = 0;
+  while (top >= 0) {
+    int l = node[top];
+    int i = edge[top]++;
+    if (NEIGHBORS[l][i] < 0) {
+      top--;
+      continue;
+    }
+    int n = NEIGHBORS[l][i];
+    if (s.owner[n] == p && !seen[n]) {
+      seen[n] = true;
+      out[(*n_out)++] = n;
+      top++;
+      node[top] = n;
+      edge[top] = 0;
+    }
+  }
+}
+
 // splitmix64 for self-contained play (replaces the reference's global
 // std::default_random_engine, rng.h:38-50)
 struct Rng {
@@ -458,9 +490,18 @@ void risk_step(RiskState* s, int action, const int32_t* dice,
       if (action != SKIP && s->army[action] < cfg->land_army_max) {
         bool comp[NUM_LANDS];
         component_of(*s, p, action, comp);
+        // First-strict-max over the reference's recursive flood-fill
+        // pre-order rooted at the lowest-index land of the component
+        // (game_helper.cpp:51-105, alphazero_moves.cpp:188-221).
+        int root = -1;
+        for (int l = 0; l < NUM_LANDS; l++)
+          if (comp[l]) { root = l; break; }
+        int order[NUM_LANDS], n_order = 0;
+        dfs_preorder(*s, p, root, order, &n_order);
         int best_int = 0, from_int = -1, best_ext = 0, from_ext = -1;
-        for (int l = 0; l < NUM_LANDS; l++) {
-          if (!comp[l] || l == action) continue;
+        for (int k = 0; k < n_order; k++) {
+          int l = order[k];
+          if (l == action) continue;
           int value = s->army[l] - 1;
           bool interior = true;
           for (int i = 0; NEIGHBORS[l][i] >= 0; i++)
