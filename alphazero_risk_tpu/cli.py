@@ -137,13 +137,19 @@ def main(argv=None):
 
     if args.mode == "watch":
         if "az" in (args.p1, args.p2):
-            raise SystemExit(
-                "watch mode steps the scalar engine: players sp/rp only "
-                "(use -m play for az matches)")
-        from .utils.watch import watch_game
-        watch_game(args.p1, args.p2, seed=args.seed,
-                   cfg=config_from_args(args), micro=args.micro,
-                   pause=not args.no_pause)
+            # AZ games step the B=1 JAX engine + MCTS on CPU (reference
+            # GUI views any Game incl. AZ, board_gui.cpp:5-125)
+            from .utils.watch import watch_game_az
+            watch_game_az(args.p1, args.p2, seed=args.seed,
+                          cfg=config_from_args(args),
+                          ckpt_dir=Config().checkpoint_dir,
+                          roles=(args.c1, args.c2), micro=args.micro,
+                          pause=not args.no_pause)
+        else:
+            from .utils.watch import watch_game
+            watch_game(args.p1, args.p2, seed=args.seed,
+                       cfg=config_from_args(args), micro=args.micro,
+                       pause=not args.no_pause)
         return
 
     cfg = config_from_args(args)
