@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mirror-games", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fast", action="store_true",
-                   help="BN-folded pallas inference for actors/arenas")
+                   help="BN-folded fast inference for actors/arenas")
     p.add_argument("--int8", action="store_true",
                    help="with --fast: int8-quantized trunk")
     p.add_argument("--cpu", action="store_true",

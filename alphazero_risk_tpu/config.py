@@ -73,7 +73,7 @@ class Config:
 
     # ---- Inference fast path (TPU-native; no reference analog) ----
     fast_infer: bool = False          # actors/arenas run the BN-folded
-    #   pallas trunk (models/fast_infer.py) instead of the Flax forward
+    #   bf16/int8 trunk (models/fast_infer.py) instead of the Flax forward
     fast_infer_int8: bool = False     # quantize the folded trunk to int8
 
     # ---- Vectorized execution (TPU-native; replaces thread counts

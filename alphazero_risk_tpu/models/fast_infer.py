@@ -1,20 +1,29 @@
-"""Fast inference path: BN-folded, pallas-fused forward for self-play.
+"""Fast inference path: BN-folded bf16 / int8 forward for self-play.
 
 The learner trains the plain Flax ``AZNet`` (``models/resnet.py``); actors
 and arenas only ever run inference.  This module folds each BatchNorm into
-its preceding conv (inference-only transform), re-lays the 3x3 trunk convs
-out as 9 shift-taps, and evaluates the trunk with the VMEM-resident pallas
-kernel (``ops/fused_trunk.py``) in bf16 or int8.  Stem and heads are a few
-small matmuls and stay in plain XLA.
+its preceding conv (inference-only transform) and runs the residual trunk
+either in bf16 or quantized to int8 — both on XLA convs.
 
-Reference model this accelerates: ``python/src/build_graph.py:37-103``
-(the reference pays one HBM round-trip per conv through TF; here the trunk
-touches HBM once in, once out).
+Why XLA convs and not a hand-written pallas kernel: a VMEM-resident
+pallas trunk (9 shift-taps per 3x3 conv via ``pltpu.roll``) was built and
+measured in rounds 1-2 — it LOST to plain XLA in every configuration
+(BENCH_r02: 82.4K vs 84.1K samples/s bf16; the int8 pallas variant lost
+by more because the 9 sublane rotates per conv cost more VPU time than
+the MXU saves, while XLA's conv lowering shifts in-register).  XLA
+already reaches ~94% of the bf16 matmul roofline on this 7x6x256 shape,
+so the kernel was deleted rather than carried as shelf-ware.  The wins
+that remain and are kept: BN folding (one fewer elementwise pass per
+conv), f32 heads, int8 trunk with static calibrated activation scales
+(BENCH_r02: 139K int8 vs 84K bf16 samples/s).
+
+Reference model this accelerates: ``python/src/build_graph.py:37-103``.
 
 Numerics: bf16 path matches the Flax forward to bf16 rounding; the int8
-path quantizes trunk weights per-output-channel and activations per-tile
-(dynamic symmetric).  Use ``tests/test_fast_infer.py``'s agreement metrics
-before trusting a new variant.
+path quantizes trunk weights per-output-channel and activations with
+static calibrated scales.  Play strength is certified, not assumed:
+int8-vs-bf16 arena with identical weights = 50.3% over 512 mirrored
+games (experiments/int8_cert.py).
 """
 
 from __future__ import annotations
@@ -25,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.fused_trunk import fused_trunk_bf16
 
 BOARD = 42
 
@@ -36,13 +44,9 @@ def _fold_conv_bn(kernel, bn) -> tuple[jax.Array, jax.Array]:
     return kernel * s, bn["bias"] - bn["mean"] * s
 
 
-def _taps(kernel: jax.Array) -> jax.Array:
-    """[3,3,C,C] HWIO -> [9,C,C] in the kernel's row-major tap order."""
-    return kernel.reshape(9, kernel.shape[2], kernel.shape[3])
-
-
 def fold_params(variables: Dict[str, Any], cfg: Config) -> Dict[str, Any]:
-    """Fold {params, batch_stats} of an AZNet into an inference pytree."""
+    """Fold {params, batch_stats} of an AZNet into an inference pytree.
+    Trunk kernels are stored stacked as [L, 2, 3, 3, C, C] (HWIO)."""
     p, bs = variables["params"], variables["batch_stats"]
 
     def bn(name):
@@ -58,7 +62,7 @@ def fold_params(variables: Dict[str, Any], cfg: Config) -> Dict[str, Any]:
                                {**blk["bn_a"], **bsb["bn_a"]})
         wb, bb = _fold_conv_bn(blk["conv_b"]["kernel"],
                                {**blk["bn_b"], **bsb["bn_b"]})
-        trunk_w.append(jnp.stack([_taps(wa), _taps(wb)]))
+        trunk_w.append(jnp.stack([wa, wb]))
         trunk_b.append(jnp.stack([ba, bb]))
 
     pol_w, pol_b = _fold_conv_bn(p["policy_conv"]["kernel"],
@@ -86,10 +90,10 @@ def fold_params(variables: Dict[str, Any], cfg: Config) -> Dict[str, Any]:
 
 def quantize_trunk(folded: Dict[str, Any]) -> Dict[str, Any]:
     """Add int8 trunk weights: per-output-channel symmetric scales."""
-    w = folded["trunk_w"].astype(jnp.float32)          # [L,2,9,C,C]
-    ws = jnp.max(jnp.abs(w), axis=(2, 3)) / 127.0      # [L,2,C]
+    w = folded["trunk_w"].astype(jnp.float32)          # [L,2,3,3,C,C]
+    ws = jnp.max(jnp.abs(w), axis=(2, 3, 4)) / 127.0   # [L,2,C]
     ws = jnp.maximum(ws, 1e-12)
-    wq = jnp.clip(jnp.round(w / ws[:, :, None, None, :]), -127, 127)
+    wq = jnp.clip(jnp.round(w / ws[:, :, None, None, None, :]), -127, 127)
     return {**folded, "trunk_wq": wq.astype(jnp.int8),
             "trunk_ws": ws.astype(jnp.float32)}
 
@@ -119,18 +123,34 @@ def _quant_dyn(h):
     return q, s
 
 
+def _trunk_xla_bf16(folded, h):
+    """BN-folded bf16 residual trunk on XLA convs.  h [B,7,6,C] f32."""
+    L = folded["trunk_w"].shape[0]
+    w = folded["trunk_w"]
+    b = folded["trunk_b"]
+    for l in range(L):
+        x = h
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w[l, 0], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + b[l, 0], 0.0)
+        z = jax.lax.conv_general_dilated(
+            y.astype(jnp.bfloat16), w[l, 1], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        h = jnp.maximum(z + b[l, 1] + x, 0.0)
+    return h
+
+
 def _trunk_xla_int8(folded, h):
     """int8 residual trunk on XLA convs.  h [B,7,6,C] f32 -> same.
 
-    Beats the roll-based pallas int8 kernel on this shape (the 9 sublane
-    rotates per conv cost more VPU time than the MXU saves; XLA's conv
-    lowering shifts in-register).  Activation scales: static per-conv if
-    ``act_s`` was calibrated into the folded pytree (quantize then fuses
-    into the preceding elementwise op — no reduction barrier), dynamic
-    per-tensor otherwise."""
+    Activation scales: static per-conv if ``act_s`` was calibrated into
+    the folded pytree (quantize then fuses into the preceding elementwise
+    op — no reduction barrier), dynamic per-tensor otherwise."""
     L = folded["trunk_wq"].shape[0]
-    C = folded["trunk_wq"].shape[-1]
-    w = folded["trunk_wq"].reshape(L, 2, 3, 3, C, C)
+    w = folded["trunk_wq"]
     ws = folded["trunk_ws"]
     b = folded["trunk_b"]
     act_s = folded.get("act_s")          # [L, 2] f32 or None
@@ -164,8 +184,7 @@ def calibrate_trunk(folded: Dict[str, Any], feats: jax.Array,
     folded pytree.  Returns a new pytree whose int8 path quantizes with
     fused static scales instead of per-batch dynamic reductions."""
     L = folded["trunk_w"].shape[0]
-    C = folded["trunk_w"].shape[-1]
-    wbf = folded["trunk_w"].reshape(L, 2, 3, 3, C, C)
+    wbf = folded["trunk_w"]
     b = folded["trunk_b"]
 
     @jax.jit
@@ -210,60 +229,41 @@ def _heads(folded, h):
 
 
 def apply_folded_impl(folded: Dict[str, Any], x: jax.Array, *,
-                      int8: bool = False, tile_b: int = 0):
+                      int8: bool = False):
     """Forward pass on folded params.  x [B,7,6,F] -> (logits, value).
-
-    The bf16 trunk runs in the VMEM-resident pallas kernel; the int8 trunk
-    runs on XLA int8 convs (measured faster than the roll-based pallas
-    int8 kernel on this shape — see ``_trunk_xla_int8``).  ``tile_b=0``
-    picks the default pallas batch tile (32).
 
     NOT jitted: call this from inside your own jitted computation (a
     nested jit is a call boundary that blocks XLA from fusing the
     quantize/rescale elementwise work into neighbors — measured 1.8x
     slower).  ``apply_folded`` is the jitted wrapper for direct use."""
-    if not tile_b:
-        tile_b = 32
     h = _stem(folded, x)                              # [B,7,6,C]
-    if int8:
-        h = _trunk_xla_int8(folded, h)
-        # Layout firewall: without it XLA back-propagates the value head's
-        # degenerate 1-output-channel contraction layout through all 40
-        # int8 convs (measured 1.8x slowdown of the whole trunk).
-        h = jax.lax.optimization_barrier(h)
-        h = h.reshape(h.shape[0], BOARD, -1)
-    else:
-        h = h.reshape(h.shape[0], BOARD, -1)
-        # B is static under jit; shrink the tile to a divisor of B so any
-        # batch size works (pallas batch tiles must divide the batch).
-        tb = pick_tile_b(x.shape[0], tile_b)
-        h = fused_trunk_bf16(h, folded["trunk_w"], folded["trunk_b"],
-                             tile_b=tb)
+    h = _trunk_xla_int8(folded, h) if int8 else _trunk_xla_bf16(folded, h)
+    # Layout firewall: without it XLA back-propagates the value head's
+    # degenerate 1-output-channel contraction layout through the whole
+    # trunk (measured 1.8x slowdown on the int8 path).
+    h = jax.lax.optimization_barrier(h)
+    h = h.reshape(h.shape[0], BOARD, -1)
     return _heads(folded, h)
 
 
-apply_folded = jax.jit(apply_folded_impl,
-                       static_argnames=("int8", "tile_b"))
+apply_folded = jax.jit(apply_folded_impl, static_argnames=("int8",))
 
 
-def make_fast_eval_fn(cfg: Config, *, int8: bool = False,
-                      tile_b: int = 0):
+def make_fast_eval_fn(cfg: Config, *, int8: bool = False):
     """MCTS eval_fn over folded params (drop-in for
     ``training.actor.make_eval_fn`` minus batch_stats plumbing)."""
     from ..env.featurize import featurize
 
     def eval_fn(folded, state, legal):
         feats = featurize(state, cfg)
-        logits, value = apply_folded_impl(folded, feats, int8=int8,
-                                          tile_b=tile_b)
+        logits, value = apply_folded_impl(folded, feats, int8=int8)
         probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
         return probs, value
 
     return eval_fn
 
 
-def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
-                             tile_b: int = 0):
+def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False):
     """Two-model eval_fn over folded params for gating arenas: each game's
     leaf is scored by the root mover's own network (drop-in for
     ``training.actor.make_paired_eval_fn``)."""
@@ -271,10 +271,8 @@ def make_fast_paired_eval_fn(cfg: Config, *, int8: bool = False,
 
     def eval_fn(folded_a, folded_b, use_a, state, legal):
         feats = featurize(state, cfg)
-        la, va = apply_folded_impl(folded_a, feats, int8=int8,
-                                   tile_b=tile_b)
-        lb, vb = apply_folded_impl(folded_b, feats, int8=int8,
-                                   tile_b=tile_b)
+        la, va = apply_folded_impl(folded_a, feats, int8=int8)
+        lb, vb = apply_folded_impl(folded_b, feats, int8=int8)
         logits = jnp.where(use_a[:, None], la, lb)
         value = jnp.where(use_a, va, vb)
         probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
@@ -312,12 +310,3 @@ def fold_for_inference(variables: Dict[str, Any], cfg: Config, *,
         if calib_feats is not None:
             folded = calibrate_trunk(folded, calib_feats)
     return folded
-
-
-def pick_tile_b(batch: int, preferred: int = 32) -> int:
-    """Largest divisor of ``batch`` that is <= preferred (pallas tiles must
-    divide the batch)."""
-    t = min(preferred, batch)
-    while batch % t:
-        t -= 1
-    return t

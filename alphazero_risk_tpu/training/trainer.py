@@ -97,9 +97,9 @@ class Trainer:
             static_argnums=4)
 
         # Fast inference path: actors/arenas only ever run frozen weights,
-        # so BatchNorm is folded once per promotion and the trunk runs in
-        # the VMEM-resident pallas kernel (models/fast_infer.py).  The
-        # learner always trains the plain Flax net.
+        # so BatchNorm is folded once per promotion and the trunk runs
+        # bf16 or int8 on XLA convs (models/fast_infer.py).  The learner
+        # always trains the plain Flax net.
         if cfg.fast_infer:
             fast = make_fast_eval_fn(cfg, int8=cfg.fast_infer_int8)
             fastp = make_fast_paired_eval_fn(cfg, int8=cfg.fast_infer_int8)
@@ -163,7 +163,7 @@ class Trainer:
         return self._fold(params, bstats)
 
     # ---- chunk-callable builders: one branch point between the Flax and
-    # the folded-pallas inference paths per episode kind ----
+    # the folded fast-inference paths per episode kind ----
     def _selfplay_call(self):
         if self.cfg.fast_infer:
             f = self._gen_folded()

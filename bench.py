@@ -90,7 +90,7 @@ def bench_mcts(cfg, batch):
 
 def bench_mcts_fast(cfg, batch, int8=False):
     """MCTS with the production inference path: BN-folded weights, trunk in
-    the VMEM-resident pallas kernel (models/fast_infer.py)."""
+    the BN-folded bf16/int8 XLA trunk (models/fast_infer.py)."""
     import alphazero_risk_tpu.mcts.search as M
     from alphazero_risk_tpu.env.state import new_game
     from alphazero_risk_tpu.models.fast_infer import (default_calib_feats,
@@ -187,14 +187,6 @@ def main():
         cfg5 = cfg.replace(blocks=5)
         env_b, env_k, mcts_b, nn_b = 8192, 128, 2048, 1024
 
-    import contextlib
-
-    if args.quick:
-        from jax.experimental.pallas import tpu as pltpu
-        interp = pltpu.force_tpu_interpret_mode     # single-use CM factory
-    else:
-        interp = contextlib.nullcontext
-
     t0 = time.time()
     env_sps = bench_env_steps(cfg, env_b, env_k)
     print(f"# env_steps/s = {env_sps:,.0f} ({time.time()-t0:.0f}s)",
@@ -204,28 +196,24 @@ def main():
     print(f"# nn_samples/s = {nn_sps:,.0f} ({time.time()-t0:.0f}s)",
           file=sys.stderr)
     t0 = time.time()
-    with interp():
-        nn_fast_sps = bench_nn_fast(cfg, nn_b)
-    print(f"# nn_samples/s (folded+pallas) = {nn_fast_sps:,.0f} "
+    nn_fast_sps = bench_nn_fast(cfg, nn_b)
+    print(f"# nn_samples/s (folded bf16) = {nn_fast_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
-    with interp():
-        nn_int8_sps = bench_nn_fast(cfg, nn_b, int8=True)
-    print(f"# nn_samples/s (folded+pallas, int8) = {nn_int8_sps:,.0f} "
+    nn_int8_sps = bench_nn_fast(cfg, nn_b, int8=True)
+    print(f"# nn_samples/s (folded int8) = {nn_int8_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
     mcts_sps = bench_mcts(cfg, mcts_b)
     print(f"# mcts_sims/s (20 blocks) = {mcts_sps:,.0f} "
           f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
-    with interp():
-        mcts_fast_sps = bench_mcts_fast(cfg, mcts_b)
-    print(f"# mcts_sims/s (20 blocks, folded+pallas) = "
+    mcts_fast_sps = bench_mcts_fast(cfg, mcts_b)
+    print(f"# mcts_sims/s (20 blocks, folded bf16) = "
           f"{mcts_fast_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
-    with interp():
-        mcts_int8_sps = bench_mcts_fast(cfg, mcts_b, int8=True)
-    print(f"# mcts_sims/s (20 blocks, folded+pallas, int8) = "
+    mcts_int8_sps = bench_mcts_fast(cfg, mcts_b, int8=True)
+    print(f"# mcts_sims/s (20 blocks, folded int8) = "
           f"{mcts_int8_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
     t0 = time.time()
     mcts5_sps = bench_mcts(cfg5, mcts_b)

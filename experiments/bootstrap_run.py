@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--out", default="experiments/bootstrap_out")
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--games", type=int, default=2000)
+    ap.add_argument("--games-ss", type=int, default=None,
+                    help="Script-vs-Script games per loop (default --games)")
+    ap.add_argument("--games-sr", type=int, default=None,
+                    help="Script-vs-Random games per loop (default --games)")
     ap.add_argument("--mcts", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fast", action="store_true",
@@ -50,8 +54,10 @@ def main():
         max_depth=48,
         batch_size=512,
         env_batch_per_device=512,
-        data_games_ss=args.games,
-        data_games_sr=args.games,
+        data_games_ss=(args.games_ss if args.games_ss is not None
+                       else args.games),
+        data_games_sr=(args.games_sr if args.games_sr is not None
+                       else args.games),
         compare_games=args.compare_games,
         benchmark_games_random=args.bench_random,
         benchmark_games_script=args.bench_script,

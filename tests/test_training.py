@@ -125,26 +125,23 @@ def test_learner_loss_decreases(tmp_path):
 
 
 def test_trainer_fast_infer_path(tmp_path):
-    """Folded-pallas inference wired through benchmark + gate (interpret
-    mode on CPU); fold cache must refresh when actor weights change."""
+    """Folded fast inference wired through benchmark + gate; fold cache
+    must refresh when actor weights change."""
     os.chdir(tmp_path)
-    from jax.experimental.pallas import tpu as pltpu
-
     cfg = TINY.replace(fast_infer=True, benchmark_games_script=2,
                        benchmark_games_random=2, compare_games=4,
                        max_game_steps=120, actor_chunk_steps=60)
     t = Trainer(cfg, seed=2)
-    with pltpu.force_tpu_interpret_mode():
-        f1 = t._gen_folded()
-        assert t._gen_folded() is f1          # cached
-        res = t.benchmark()
-        assert res[0]["games"] == 2
-        t.replay.extend(fake_samples(64, cfg))
-        t.train_epochs(epochs=1)
-        improved = t.gate(revert_on_fail=False)
-        assert isinstance(improved, bool)
-        if improved:
-            assert t._folded_gen is None or t._gen_folded() is not f1
+    f1 = t._gen_folded()
+    assert t._gen_folded() is f1          # cached
+    res = t.benchmark()
+    assert res[0]["games"] == 2
+    t.replay.extend(fake_samples(64, cfg))
+    t.train_epochs(epochs=1)
+    improved = t.gate(revert_on_fail=False)
+    assert isinstance(improved, bool)
+    if improved:
+        assert t._folded_gen is None or t._gen_folded() is not f1
 
 
 def test_play_fast_path(tmp_path):
