@@ -69,6 +69,27 @@ def test_native_oracle_trajectory_parity(engine, seed):
         pytest.fail("game did not terminate")
 
 
+@pytest.mark.slow
+def test_native_jax_crossval_at_scale(engine):
+    """Large-scale randomized cross-validation: 10K full games, every
+    micro-step of the JAX engine diffed field-wise against riskcore
+    (identical action/dice streams).  Catches tail-of-distribution rules
+    bugs the small parity tests can't."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.crossval_native import run_batch
+
+    total = 0
+    done = 0
+    while done < 10_000:
+        b = min(512, 10_000 - done)
+        total += run_batch(b, seed=done)
+        done += b
+    assert total > 2_000_000     # ~300+ micro-steps per game
+
+
 def test_native_match_runner(engine):
     res, rounds, steps = engine.play_games("sp", "rp", 200, 11)
     assert (res != STATUS_NOT_ENDED).all()
