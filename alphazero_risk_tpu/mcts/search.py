@@ -286,26 +286,31 @@ def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
     return tree
 
 
+def _apply_root_noise(tree: Tree, key: jax.Array, cfg: Config) -> Tree:
+    """True sampled Dirichlet blended into the ROOT prior (AlphaZero-style),
+    as an alternative to the reference's constant blend applied at every
+    node (alphazero_mcts.cpp:78-86, which _puct_select retains).  Also
+    applied to carried roots under tree reuse — every search must explore
+    from a freshly-noised root."""
+    rows = jnp.arange(tree.root.shape[0])
+    legal0 = tree.legal[rows, tree.root]
+    alpha = jnp.where(legal0, 0.3, 1e-6)
+    noise = jax.random.dirichlet(key, alpha)
+    noise = jnp.where(legal0, noise, 0.0)
+    noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-9)
+    prior0 = ((1.0 - cfg.noise_eps) * tree.prior[rows, tree.root]
+              + cfg.noise_eps * noise)
+    return tree.replace(prior=tree.prior.at[rows, tree.root].set(prior0))
+
+
 def search(root: GameState, key: jax.Array, cfg: Config,
            eval_fn: EvalFn) -> SearchResult:
     """Run ``cfg.mcts_simulations`` sims for every game in the batch."""
     tree = init_tree(root, cfg, eval_fn)
 
     if cfg.use_dirichlet_noise:
-        # True sampled Dirichlet at the root (AlphaZero-style), as an
-        # alternative to the reference's constant blend applied at every
-        # node (alphazero_mcts.cpp:78-86, which _puct_select retains).
         key, kd = jax.random.split(key)
-        rows = jnp.arange(tree.root.shape[0])
-        legal0 = tree.legal[rows, tree.root]
-        alpha = jnp.where(legal0, 0.3, 1e-6)
-        noise = jax.random.dirichlet(kd, alpha)
-        noise = jnp.where(legal0, noise, 0.0)
-        noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-9)
-        prior0 = ((1.0 - cfg.noise_eps) * tree.prior[rows, tree.root]
-                  + cfg.noise_eps * noise)
-        tree = tree.replace(
-            prior=tree.prior.at[rows, tree.root].set(prior0))
+        tree = _apply_root_noise(tree, kd, cfg)
 
     def body(i, carry):
         tree, key = carry
@@ -426,6 +431,10 @@ def search_with_reuse(root_state: GameState, key: jax.Array, cfg: Config,
     same_leaves = jax.tree.leaves(jax.tree.map(eq, carried, root_state))
     same = functools.reduce(jnp.logical_and, same_leaves, reused)
     tree = tree_select(same, prev_tree, fresh)
+
+    if cfg.use_dirichlet_noise:
+        key, kd = jax.random.split(key)
+        tree = _apply_root_noise(tree, kd, cfg)
 
     def body(i, carry):
         tree, key = carry

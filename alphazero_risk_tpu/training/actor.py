@@ -174,10 +174,14 @@ def run_episodes(eval_fn, state0: GameState, key: jax.Array, cfg: Config,
     b = state0.batch_size
     both_az = az_seats[0] and az_seats[1]
     fast_forward = not both_az and not record_all
-    # tree reuse across moves: self-play path only (single net, single
-    # mover stream); trees are carried within one scan and refreshed at
-    # chunk boundaries.
-    reuse = cfg.tree_reuse and both_az and not paired_eval
+    # tree reuse across moves: single-net paths (self-play and versus —
+    # a Risk turn is many same-player micro-decisions, so the chosen
+    # child's subtree usually survives to the next search; opponent moves
+    # invalidate the carried root via the exact-state staleness check).
+    # Trees are carried within one scan and refreshed at chunk
+    # boundaries.  Paired arenas keep fresh trees: the two seats would
+    # need separate tree stores.
+    reuse = cfg.tree_reuse and not paired_eval
 
     def _az_turn_or_done(state):
         mover = state.cur_player
