@@ -70,6 +70,11 @@ class Trainer:
 
         self._eval = A.make_eval_fn(self.net, cfg)
         self._paired = A.make_paired_eval_fn(self.net, cfg)
+        # Exploration noise belongs to self-play GENERATION only; arenas
+        # and benchmarks search without root Dirichlet (the reference's
+        # constant blend, retained inside PUCT select, applies everywhere
+        # as in alphazero_mcts.cpp:78-86).
+        self._ecfg = cfg.replace(use_dirichlet_noise=False)
         self._epoch = jax.jit(
             make_epoch_fn(self.net, self.tx, cfg,
                           prepare_batch=self._prepare_batch))
@@ -110,11 +115,11 @@ class Trainer:
             self._arena_fast_chunk = jax.jit(
                 lambda fa, fb, s0, c, pr, k: A.run_episodes(
                     lambda s, m, use_a: fastp(fa, fb, use_a, s, m),
-                    s0, k, cfg, chunk, sample_moves=False,
+                    s0, k, self._ecfg, chunk, sample_moves=False,
                     paired_eval=True, carry_in=c, prev_in=pr))
             self._versus_fold_chunk = jax.jit(
                 lambda f, s0, c, pr, k, opp, record: A.run_episodes(
-                    lambda s, m: fast(f, s, m), s0, k, cfg, chunk,
+                    lambda s, m: fast(f, s, m), s0, k, self._ecfg, chunk,
                     opponent=opp, az_seats=(True, False),
                     sample_moves=False, record_all=record,
                     carry_in=c, prev_in=pr), static_argnums=(5, 6))
@@ -272,14 +277,14 @@ class Trainer:
                    num_steps):
         efn = lambda s, m, use_a: self._paired(  # noqa: E731
             pa, bsa, pb, bsb, use_a, s, m)
-        return A.run_episodes(efn, state0, key, self.cfg, num_steps,
+        return A.run_episodes(efn, state0, key, self._ecfg, num_steps,
                               sample_moves=False, paired_eval=True,
                               carry_in=carry, prev_in=prev)
 
     def _run_versus(self, params, bstats, state0, carry, prev, key,
                     opponent, num_steps, record):
         efn = lambda s, m: self._eval(params, bstats, s, m)  # noqa: E731
-        return A.run_episodes(efn, state0, key, self.cfg, num_steps,
+        return A.run_episodes(efn, state0, key, self._ecfg, num_steps,
                               opponent=opponent, az_seats=(True, False),
                               sample_moves=False, record_all=record,
                               carry_in=carry, prev_in=prev)

@@ -34,11 +34,17 @@ def main():
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--games", type=int, default=512,
                     help="self-play games per iteration")
-    ap.add_argument("--mcts", type=int, default=32)
+    ap.add_argument("--mcts", type=int, default=96)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--compare-games", type=int, default=192)
+    ap.add_argument("--dirichlet", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="true sampled root Dirichlet noise during "
+                    "self-play generation (exploration diversity)")
+    ap.add_argument("--tree-reuse", action=argparse.BooleanOptionalAction,
+                    default=False)
+    ap.add_argument("--compare-games", type=int, default=384)
     ap.add_argument("--bench-every", type=int, default=3)
     ap.add_argument("--bench-script", type=int, default=128)
     ap.add_argument("--bench-random", type=int, default=16)
@@ -79,6 +85,8 @@ def main():
         max_game_steps=1000,
         fast_infer=args.fast,
         fast_infer_int8=args.int8,
+        use_dirichlet_noise=args.dirichlet,
+        tree_reuse=args.tree_reuse,
     )
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
