@@ -42,7 +42,11 @@ class SampleBatch(NamedTuple):
     reinforcements: jax.Array   # int16
     attacks_during_turn: jax.Array  # int16
     can_draw_card: jax.Array    # bool
-    policy: jax.Array           # float32 [.., 43]
+    policy: jax.Array           # float16 [.., 43] (wire-compact: MCTS
+                                # visit shares need ~10 bits; halving the
+                                # dominant field halves the device->host
+                                # sample stream and the host->device
+                                # epoch upload)
     value: jax.Array            # float32 (z, filled after game end)
     valid: jax.Array            # bool — mover was recording and game live
 
@@ -84,7 +88,7 @@ def _record(state: GameState, pi: jax.Array, valid: jax.Array
         reinforcements=state.reinforcements.astype(jnp.int16),
         attacks_during_turn=state.attacks_during_turn.astype(jnp.int16),
         can_draw_card=state.can_draw_card,
-        policy=pi.astype(jnp.float32),
+        policy=pi.astype(jnp.float16),
         value=jnp.zeros((state.batch_size,), jnp.float32),
         valid=valid,
     )

@@ -65,7 +65,8 @@ def cross_validate(cfg: Config, samples_path: str, folds: int = 5,
             sub = jax.tree.map(lambda x: x[idx], data)
             sb = A.SampleBatch(valid=None, **{k: sub[k] for k in sub})
             return {"features": A.features_of_samples(sb, cfg),
-                    "policy": sub["policy"], "value": sub["value"]}
+                    "policy": sub["policy"].astype(jnp.float32),
+                    "value": sub["value"]}
 
         epoch = jax.jit(make_epoch_fn(net, tx, cfg, prepare_batch=prepare))
         best, stale, history = float("inf"), 0, []

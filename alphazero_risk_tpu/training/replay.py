@@ -29,7 +29,7 @@ FIELDS = dict(
     reinforcements=(np.int16, ()),
     attacks_during_turn=(np.int16, ()),
     can_draw_card=(np.bool_, ()),
-    policy=(np.float32, (NUM_ACTIONS,)),
+    policy=(np.float16, (NUM_ACTIONS,)),
     value=(np.float32, ()),
 )
 

@@ -261,7 +261,9 @@ class Trainer:
         sb = A.SampleBatch(valid=None, **{k: sub[k] for k in sub})
         return {
             "features": A.features_of_samples(sb, self.cfg),
-            "policy": sub["policy"],
+            # policy travels float16 (actor._record / replay.FIELDS);
+            # the CE loss runs in float32
+            "policy": sub["policy"].astype(jnp.float32),
             "value": sub["value"],
         }
 

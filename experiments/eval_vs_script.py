@@ -50,7 +50,7 @@ def main():
         t.gen_batch_stats = t.train_state.batch_stats
         t0 = time.time()
         res = t.play(A.OPP_SCRIPT, args.games)
-        rec = {"sims": sims, "games": args.games,
+        rec = {"role": args.role, "sims": sims, "games": args.games,
                "az_wins": res["p0_wins"], "script_wins": res["p1_wins"],
                "draws": res["draws"], "unfinished": res["unfinished"],
                "win_rate": res["p0_wins"] / max(

@@ -1,0 +1,126 @@
+"""From-scratch AlphaZero training — the reference's `-m train` curve.
+
+The reference publishes a from-scratch trajectory (azr-benchmark-log.txt:
+vs Random reaches 10/10 by iter ~19, vs Script peaks 45/100 at iter 44;
+alphazero_trainer.cpp:12-34).  This driver reproduces that experiment at
+configurable scale from RANDOM weights: loop { self-play -> trim ->
+epochs -> gate (revert on fail, reference train mode) } with a
+benchmark vs Random + Script after EVERY iteration so the curve is
+recorded whether or not the gate accepts.
+
+Usage:
+  python experiments/scratch_train.py --iters 24 --out experiments/scratch_out
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from alphazero_risk_tpu.config import Config  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--out", default="experiments/scratch_out")
+    ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--games", type=int, default=256,
+                    help="self-play games per iteration")
+    ap.add_argument("--mcts", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dirichlet", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--compare-games", type=int, default=192)
+    ap.add_argument("--bench-script", type=int, default=64)
+    ap.add_argument("--bench-random", type=int, default=16)
+    ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--revert", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="reference train mode reverts to the best "
+                    "checkpoint on a failed gate")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    os.chdir(args.out)
+
+    cfg = Config(
+        blocks=args.blocks,
+        learning_rate=args.lr,
+        mcts_simulations=args.mcts,
+        max_depth=48,
+        batch_size=512,
+        env_batch_per_device=512,
+        train_iteration_games=args.games,
+        epochs=args.epochs,
+        samples_storage_min_batches=256,
+        samples_storage_max_batches=2048,
+        compare_games=args.compare_games,
+        compare_threshold=0.55,
+        benchmark_games_random=args.bench_random,
+        benchmark_games_script=args.bench_script,
+        max_game_steps=1000,
+        fast_infer=args.fast,
+        fast_infer_int8=args.int8,
+        use_dirichlet_noise=args.dirichlet,
+    )
+
+    from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
+
+    t = Trainer(cfg, seed=args.seed)
+    t.ckpt.save("best", t.train_state)  # random init is the first "best"
+    t._install_sigint_flush()
+    print(f"scratch train: {args.iters} iters, blocks={cfg.blocks} "
+          f"mcts={cfg.mcts_simulations} games/iter={args.games}",
+          flush=True)
+
+    accepted = 0
+    for it in range(args.iters):
+        t.iteration = it
+        t0 = time.time()
+        added = t.generate_selfplay()
+        t.replay.trim()
+        t_gen = time.time() - t0
+
+        t1 = time.time()
+        pi_l, v_l = t.train_epochs()
+        t_train = time.time() - t1
+
+        t2 = time.time()
+        improved = t.gate(revert_on_fail=args.revert)
+        t_gate = time.time() - t2
+        if improved:
+            accepted += 1
+            t.replay.mark_old_games()
+        t.ckpt.save("latest", t.train_state)
+
+        t3 = time.time()
+        bench = t.benchmark()
+        rec = {
+            "iter": it, "samples_added": added, "buffer": len(t.replay),
+            "pi_loss": pi_l, "v_loss": v_l, "improved": improved,
+            "accepted_total": accepted,
+            "vs_random": bench[0], "vs_script": bench[1],
+            "t_gen": round(t_gen, 1), "t_train": round(t_train, 1),
+            "t_gate": round(t_gate, 1),
+            "t_bench": round(time.time() - t3, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        with open("progress.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    t.ckpt.save("final", t.train_state)
+    t.replay.save(f"{cfg.data_dir}/training_samples.npz")
+    print(f"done: {accepted}/{args.iters} gates accepted", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,14 @@ def main():
                     "(reference train-data mode)")
     ap.add_argument("--load-replay", default=None,
                     help="preload a saved replay buffer (npz)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a previous run in --out: restore "
+                    "latest->train weights, best->generation weights, "
+                    "reload the saved replay, continue iteration numbers")
+    ap.add_argument("--start-iter", type=int, default=0,
+                    help="with --resume: first iteration number")
+    ap.add_argument("--start-accepted", type=int, default=0,
+                    help="with --resume: accepted-gate count so far")
     args = ap.parse_args()
 
     init_ckpt = os.path.abspath(args.init_ckpt)
@@ -93,14 +101,24 @@ def main():
     from alphazero_risk_tpu.training.checkpoints import (  # noqa: E402
         CheckpointManager)
 
-    t = Trainer(cfg, seed=args.seed)
-    init_mgr = CheckpointManager(cfg, init_ckpt)
-    assert init_mgr.exists(args.init_role), (
-        f"missing init checkpoint {init_ckpt}/{args.init_role}")
-    t.train_state = init_mgr.restore(args.init_role, t.train_state)
-    t.gen_params = t.train_state.params
-    t.gen_batch_stats = t.train_state.batch_stats
-    t.ckpt.save("best", t.train_state)   # starting point = current best
+    t = Trainer(cfg, seed=args.seed + args.start_iter)
+    if args.resume:
+        assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
+        t.train_state = t.ckpt.restore("latest", t.train_state)
+        best = t.ckpt.restore("best", t.train_state)
+        t.gen_params = best.params
+        t.gen_batch_stats = best.batch_stats
+        t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        print(f"resume: iter {args.start_iter}, "
+              f"replay {len(t.replay)} samples", flush=True)
+    else:
+        init_mgr = CheckpointManager(cfg, init_ckpt)
+        assert init_mgr.exists(args.init_role), (
+            f"missing init checkpoint {init_ckpt}/{args.init_role}")
+        t.train_state = init_mgr.restore(args.init_role, t.train_state)
+        t.gen_params = t.train_state.params
+        t.gen_batch_stats = t.train_state.batch_stats
+        t.ckpt.save("best", t.train_state)  # starting point = current best
     if load_replay:
         loaded = t.replay.load(load_replay)
         print(f"replay preload {load_replay}: "
@@ -110,8 +128,8 @@ def main():
           f"blocks={cfg.blocks} mcts={cfg.mcts_simulations} "
           f"games/iter={args.games}", flush=True)
 
-    accepted = 0
-    for it in range(args.iters):
+    accepted = args.start_accepted
+    for it in range(args.start_iter, args.start_iter + args.iters):
         t.iteration = it
         t0 = time.time()
         added = t.generate_selfplay()
@@ -129,6 +147,9 @@ def main():
             accepted += 1
             t.replay.mark_old_games()
         t.ckpt.save("latest", t.train_state)
+        # persist replay every iteration so --resume after a tunnel wedge
+        # loses at most one iteration of data
+        t.replay.save(f"{cfg.data_dir}/training_samples.npz")
 
         rec = {
             "iter": it, "samples_added": added, "buffer": len(t.replay),
