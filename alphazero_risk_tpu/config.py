@@ -75,6 +75,9 @@ class Config:
     fast_infer: bool = False          # actors/arenas run the BN-folded
     #   bf16/int8 trunk (models/fast_infer.py) instead of the Flax forward
     fast_infer_int8: bool = False     # quantize the folded trunk to int8
+    device_replay: bool = False       # device-resident replay ring: the
+    #   selfplay->train loop never moves samples over the host link
+    #   (training/device_replay.py; single-process only)
 
     # ---- Vectorized execution (TPU-native; replaces thread counts
     # NUMBER_OF_GPUS / NUMBER_OF_CONCURENT_GAMES_PER_GPU / THREADS_PER_MCTS,

@@ -120,6 +120,51 @@ def make_epoch_fn(net: AZNet, tx: optax.GradientTransformation, cfg: Config,
     return epoch
 
 
+def make_ring_epoch_fn(net: AZNet, tx: optax.GradientTransformation,
+                       cfg: Config, prepare_batch=None):
+    """``make_epoch_fn`` over a device-resident ring buffer.
+
+    ``data`` holds ``cap`` physical slots of which the logical window
+    ``[start, start+size) mod cap`` is valid (training/device_replay.py);
+    the shuffled epoch must draw only from that window while every shape
+    stays static.  A masked argsort turns one uniform vector into a
+    permutation of the valid window (invalid slots sort last), and a
+    ``fori_loop`` with the dynamic trip count ``size // batch_size``
+    replaces the scan — no recompilation when the buffer grows.
+    """
+    update = make_update_fn(net, tx, cfg)
+    if prepare_batch is None:
+        def prepare_batch(data, idx):
+            return jax.tree.map(lambda x: x[idx], data)
+
+    def epoch(state: TrainState, data, start, size, key: jax.Array):
+        cap = jax.tree.leaves(data)[0].shape[0]
+        nb_max = cap // cfg.batch_size
+        steps = size // cfg.batch_size
+        r = jax.random.uniform(key, (cap,))
+        # valid logical indices first, in uniform-random order
+        order = jnp.argsort(r + (jnp.arange(cap) >= size))
+        phys = (start + order[: nb_max * cfg.batch_size]) % cap
+        perm = phys.reshape(nb_max, cfg.batch_size)
+
+        def body(i, carry):
+            st, pi_sum, v_sum = carry
+            st, metrics = update(st, prepare_batch(data, perm[i]))
+            return st, pi_sum + metrics["pi_loss"], v_sum + metrics["v_loss"]
+
+        state, pi_sum, v_sum = jax.lax.fori_loop(
+            0, steps, body, (state, jnp.zeros(()), jnp.zeros(())))
+        denom = jnp.maximum(steps, 1).astype(jnp.float32)
+        nan = jnp.float32(jnp.nan)
+        metrics = {
+            "pi_loss": jnp.where(steps > 0, pi_sum / denom, nan),
+            "v_loss": jnp.where(steps > 0, v_sum / denom, nan),
+        }
+        return state, metrics
+
+    return epoch
+
+
 def make_predict_fn(net: AZNet, cfg: Config):
     """Batched inference with invalid-move masking + renormalization
     (reference ``NNOutputData::normalize``, alphazero_nn_data.cpp:3-27)."""

@@ -114,5 +114,7 @@ class ReplayBuffer:
         with np.load(path) as z:
             assert int(z["__version__"]) == FORMAT_VERSION
             self.old_game_index = int(z["old_game_index"])
-            self.data = {k: z[k] for k in FIELDS}
+            # astype: schema-compatible load of archives written before a
+            # field narrowed (e.g. float32 policy -> float16)
+            self.data = {k: z[k].astype(FIELDS[k][0]) for k in FIELDS}
         return True

@@ -63,7 +63,14 @@ class Trainer:
         # (reference "az_generate" group, alphazero_risk.cpp:49-62)
         self.gen_params = self.train_state.params
         self.gen_batch_stats = self.train_state.batch_stats
-        self.replay = ReplayBuffer(cfg)
+        if cfg.device_replay:
+            assert self.world == 1, (
+                "device_replay is single-process only: the multi-host "
+                "path shards episode batches and keeps replay host-local")
+            from .device_replay import DeviceReplay
+            self.replay = DeviceReplay(cfg)
+        else:
+            self.replay = ReplayBuffer(cfg)
         self.logs = Logs(log_dir or cfg.log_dir)
         self.ckpt = CheckpointManager(cfg)
         self.iteration = 0
@@ -78,6 +85,11 @@ class Trainer:
         self._epoch = jax.jit(
             make_epoch_fn(self.net, self.tx, cfg,
                           prepare_batch=self._prepare_batch))
+        if cfg.device_replay:
+            from .learner import make_ring_epoch_fn
+            self._ring_epoch = jax.jit(
+                make_ring_epoch_fn(self.net, self.tx, cfg,
+                                   prepare_batch=self._prepare_batch))
         # Episodes run in bounded chunks: one device dispatch advances every
         # game `actor_chunk_steps` micro-decisions, the host checks for
         # all-done between chunks (early exit + keeps single executions
@@ -312,6 +324,10 @@ class Trainer:
         b = state0.batch_size
         carry = init_carry(b)
         prev = jnp.full((b,), -1, jnp.int32)
+        # device_replay: chunks stay on device (the ring ingests them
+        # directly) — only the [B] status scalar vector comes down per
+        # chunk for the all-done check
+        on_device = self.cfg.device_replay
         chunks = []
         status = None
         state = state0
@@ -319,7 +335,8 @@ class Trainer:
                        // self.cfg.actor_chunk_steps, 1)
         for _ in range(n_chunks):
             out = chunk_call(state, carry, prev, self._next_key())
-            chunks.append(self._local(out.samples))
+            chunks.append(out.samples if on_device
+                          else self._local(out.samples))
             state, carry, prev = out.state, out.carry, out.prev_player
             status = self._local(out.status)
             live = int((status == STATUS_NOT_ENDED).sum())
@@ -327,8 +344,9 @@ class Trainer:
                 live = int(allgather_metrics({"live": live})["live"])
             if live == 0:
                 break
+        concat = jnp.concatenate if on_device else np.concatenate
         samples = jax.tree.map(
-            lambda *xs: np.concatenate(xs, axis=0), *chunks)
+            lambda *xs: concat(xs, axis=0), *chunks)
         return A.ActorOutput(state=state, samples=samples,
                              status=status)
 
@@ -358,12 +376,27 @@ class Trainer:
         epochs = epochs or self.cfg.epochs
         if self.world > 1:
             return self._train_epochs_multihost(epochs)
+        if self.cfg.device_replay:
+            return self._train_epochs_ring(epochs)
         arrays = self.replay.sample_arrays()
         data = {k: jnp.asarray(v) for k, v in arrays.items()}
         pi_loss = v_loss = float("nan")
         for e in range(epochs):
             self.train_state, metrics = self._epoch(
                 self.train_state, data, self._next_key())
+            pi_loss = float(metrics["pi_loss"])
+            v_loss = float(metrics["v_loss"])
+            self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
+        return pi_loss, v_loss
+
+    def _train_epochs_ring(self, epochs: int) -> Tuple[float, float]:
+        """Epochs over the device-resident ring: no buffer upload at all
+        (the samples were ingested on device by _episode_loop)."""
+        data, start, size = self.replay.epoch_view()
+        pi_loss = v_loss = float("nan")
+        for e in range(epochs):
+            self.train_state, metrics = self._ring_epoch(
+                self.train_state, data, start, size, self._next_key())
             pi_loss = float(metrics["pi_loss"])
             v_loss = float(metrics["v_loss"])
             self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)

@@ -59,6 +59,10 @@ def main():
                     "(reference train-data mode)")
     ap.add_argument("--load-replay", default=None,
                     help="preload a saved replay buffer (npz)")
+    ap.add_argument("--device-replay", action="store_true",
+                    help="device-resident replay ring: samples never "
+                    "cross the host link (no per-iteration replay "
+                    "persistence; resume refills the buffer)")
     ap.add_argument("--resume", action="store_true",
                     help="continue a previous run in --out: restore "
                     "latest->train weights, best->generation weights, "
@@ -95,6 +99,7 @@ def main():
         fast_infer_int8=args.int8,
         use_dirichlet_noise=args.dirichlet,
         tree_reuse=args.tree_reuse,
+        device_replay=args.device_replay,
     )
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
@@ -147,9 +152,13 @@ def main():
             accepted += 1
             t.replay.mark_old_games()
         t.ckpt.save("latest", t.train_state)
-        # persist replay every iteration so --resume after a tunnel wedge
-        # loses at most one iteration of data
-        t.replay.save(f"{cfg.data_dir}/training_samples.npz")
+        if not args.device_replay:
+            # persist replay every iteration so --resume after a tunnel
+            # wedge loses at most one iteration of data (the device ring
+            # skips this: a full download per iteration is the exact
+            # transfer it exists to avoid — resume refills from fresh
+            # self-play instead)
+            t.replay.save(f"{cfg.data_dir}/training_samples.npz")
 
         rec = {
             "iter": it, "samples_added": added, "buffer": len(t.replay),
