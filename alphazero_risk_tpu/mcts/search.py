@@ -286,6 +286,39 @@ def simulate_once(tree: Tree, key: jax.Array, cfg: Config,
     return tree
 
 
+@functools.lru_cache(maxsize=4)
+def _gamma_log_quantiles(alpha: float, n: int = 2048):
+    """log-quantile table of Gamma(alpha) on a log-uniform grid.
+
+    Root Dirichlet noise needs iid Gamma(0.3) draws; XLA's native gamma
+    sampler is a data-dependent rejection loop (slow on TPU, and the only
+    while-loop the search graph would contain).  A 2048-point inverse-CDF
+    table in log-log space replaces it with one interp: the quantile
+    function of Gamma(a) is ~ linear in log-log for small u
+    (log x ~ (log u + c) / a), so the low tail that dominates a=0.3
+    stays accurate."""
+    from scipy.stats import gamma as sp_gamma
+
+    lu = np.linspace(np.log(1e-7), np.log(1.0 - 1e-4), n)
+    q = sp_gamma.ppf(np.exp(lu), a=alpha)
+    return jnp.asarray(lu, jnp.float32), jnp.asarray(np.log(q), jnp.float32)
+
+
+def sample_dirichlet_noise(key: jax.Array, legal: jax.Array,
+                           alpha: float = 0.3) -> jax.Array:
+    """Dirichlet(alpha) over the legal subset of each row, loop-free.
+
+    Independent Gamma(alpha) draws renormalized over the legal entries ARE
+    Dirichlet(alpha) restricted to that subset (gamma aggregation), so
+    illegal entries need no degenerate tiny-alpha draws at all."""
+    lu, lq = _gamma_log_quantiles(float(alpha))
+    u = jax.random.uniform(key, legal.shape, jnp.float32,
+                           minval=1e-7, maxval=1.0 - 1e-4)
+    g = jnp.exp(jnp.interp(jnp.log(u), lu, lq))
+    g = jnp.where(legal, g, 0.0)
+    return g / jnp.maximum(g.sum(-1, keepdims=True), 1e-30)
+
+
 def _apply_root_noise(tree: Tree, key: jax.Array, cfg: Config) -> Tree:
     """True sampled Dirichlet blended into the ROOT prior (AlphaZero-style),
     as an alternative to the reference's constant blend applied at every
@@ -294,10 +327,7 @@ def _apply_root_noise(tree: Tree, key: jax.Array, cfg: Config) -> Tree:
     from a freshly-noised root."""
     rows = jnp.arange(tree.root.shape[0])
     legal0 = tree.legal[rows, tree.root]
-    alpha = jnp.where(legal0, 0.3, 1e-6)
-    noise = jax.random.dirichlet(key, alpha)
-    noise = jnp.where(legal0, noise, 0.0)
-    noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-9)
+    noise = sample_dirichlet_noise(key, legal0)
     prior0 = ((1.0 - cfg.noise_eps) * tree.prior[rows, tree.root]
               + cfg.noise_eps * noise)
     return tree.replace(prior=tree.prior.at[rows, tree.root].set(prior0))

@@ -376,7 +376,11 @@ class Trainer:
         epochs = epochs or self.cfg.epochs
         if self.world > 1:
             return self._train_epochs_multihost(epochs)
-        if self.cfg.device_replay:
+        # dispatch on the actual buffer type, not the config flag:
+        # train_on_data and experiment drivers may swap in a fresh host
+        # buffer on a trainer whose self-play path uses the device ring
+        from .device_replay import DeviceReplay
+        if isinstance(self.replay, DeviceReplay):
             return self._train_epochs_ring(epochs)
         arrays = self.replay.sample_arrays()
         data = {k: jnp.asarray(v) for k, v in arrays.items()}
@@ -677,7 +681,11 @@ class Trainer:
         trainOnGeneratedData, alphazero_trainer.cpp:227-319)."""
         cfg = self.cfg
         for self.iteration in range(loops or cfg.data_train_loops):
-            fresh = ReplayBuffer(cfg)
+            if cfg.device_replay:
+                from .device_replay import DeviceReplay
+                fresh = DeviceReplay(cfg)
+            else:
+                fresh = ReplayBuffer(cfg)
             for kinds, games in (((A.OPP_SCRIPT, A.OPP_SCRIPT),
                                   cfg.data_games_ss),
                                  ((A.OPP_SCRIPT, A.OPP_RANDOM),

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--device-replay", action="store_true",
+                    help="device-resident replay ring (no host link "
+                    "traffic for samples)")
     ap.add_argument("--revert", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="reference train mode reverts to the best "
@@ -71,6 +74,7 @@ def main():
         fast_infer=args.fast,
         fast_infer_int8=args.int8,
         use_dirichlet_noise=args.dirichlet,
+        device_replay=args.device_replay,
     )
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402

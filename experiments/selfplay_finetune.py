@@ -94,7 +94,11 @@ def main():
         compare_threshold=0.55,
         benchmark_games_random=args.bench_random,
         benchmark_games_script=args.bench_script,
-        max_game_steps=1000,
+        max_game_steps=1008,
+        # short device dispatches: the axon runtime kills long single
+        # executions, so bound each chunk to ~2048 sim-steps (the same
+        # rule eval_vs_script uses)
+        actor_chunk_steps=max(16, 2048 // args.mcts),
         fast_infer=args.fast,
         fast_infer_int8=args.int8,
         use_dirichlet_noise=args.dirichlet,

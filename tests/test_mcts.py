@@ -140,3 +140,27 @@ def test_selfplay_with_reuse_runs_and_is_legal():
     assert np.allclose(pi[valid].sum(-1), 1.0)
     from alphazero_risk_tpu.env.checks import validate
     validate(out.state, cfg)
+
+
+def test_table_dirichlet_matches_reference_sampler():
+    """sample_dirichlet_noise (inverse-CDF table, loop-free) must be
+    distributionally identical to jax.random.dirichlet over the legal
+    subset: matching mean/variance and small KS distance."""
+    import numpy as np
+    from alphazero_risk_tpu.mcts.search import sample_dirichlet_noise
+
+    legal = jnp.zeros((8000, 43), bool).at[:, :7].set(True)
+    ours = np.asarray(sample_dirichlet_noise(
+        jax.random.PRNGKey(0), legal))[:, :7]
+    ref = np.asarray(jax.random.dirichlet(
+        jax.random.PRNGKey(1), jnp.full((7,), 0.3), (8000,)))
+    assert np.allclose(ours.mean(0), 1 / 7, atol=0.01)
+    assert abs(ours.var(0).mean() - ref.var(0).mean()) < 0.004
+    a, b = np.sort(ours[:, 0]), np.sort(ref[:, 0])
+    grid = np.linspace(0, 1, 1000)
+    ks = np.abs(np.searchsorted(a, grid) / len(a)
+                - np.searchsorted(b, grid) / len(b)).max()
+    assert ks < 0.035, ks   # ~0.03 crit at n=8000, p=0.05
+    full = np.asarray(sample_dirichlet_noise(jax.random.PRNGKey(2), legal))
+    assert np.allclose(full.sum(-1), 1.0, atol=1e-5)
+    assert full[:, 7:].max() == 0.0
