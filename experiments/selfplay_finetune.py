@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--mcts", type=int, default=96)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--storage-min", type=int, default=256,
+                    help="samples_storage_min_batches (reference default "
+                    "is 1024 batches = 524K samples, settings.h:75; a "
+                    "large floor keeps the model anchored to accumulated "
+                    "data instead of chasing each iteration's fresh "
+                    "noisy self-play)")
+    ap.add_argument("--storage-max", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dirichlet", action=argparse.BooleanOptionalAction,
                     default=True,
@@ -88,8 +95,8 @@ def main():
         env_batch_per_device=512,
         train_iteration_games=args.games,
         epochs=args.epochs,
-        samples_storage_min_batches=256,     # keep >=131K samples
-        samples_storage_max_batches=2048,    # cap ~1M samples
+        samples_storage_min_batches=args.storage_min,
+        samples_storage_max_batches=args.storage_max,
         compare_games=args.compare_games,
         compare_threshold=0.55,
         benchmark_games_random=args.bench_random,

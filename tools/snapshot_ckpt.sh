@@ -1,0 +1,19 @@
+#!/bin/bash
+# Snapshot a run checkpoint role into the tracked artifacts/ directory and
+# commit it, so model weights survive container resets between rounds
+# (the round-2 20-block bootstrap checkpoint was lost exactly this way:
+# experiments/*_out/ is gitignored and the machine is recycled between
+# rounds).
+#
+# Usage: tools/snapshot_ckpt.sh <ckpt_dir>/<role> <artifact-name> [msg]
+set -eu
+SRC=$1; NAME=$2; MSG=${3:-"artifacts: snapshot $NAME"}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+DST="$REPO/artifacts/$NAME"
+[ -d "$SRC" ] || { echo "no checkpoint at $SRC" >&2; exit 1; }
+rm -rf "$DST"
+cp -r "$SRC" "$DST"
+cd "$REPO"
+git add -f "artifacts/$NAME"
+git commit -q -m "$MSG" -- "artifacts/$NAME" || true
+echo "snapshot: $SRC -> artifacts/$NAME (committed)"
