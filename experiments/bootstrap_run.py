@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--compare-games", type=int, default=192)
     ap.add_argument("--bench-script", type=int, default=128)
     ap.add_argument("--bench-random", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a previous run in --out: restore the "
+                    "latest checkpoint and start after the last loop "
+                    "recorded in progress.jsonl (tunnel wedges truncated "
+                    "the round-3 20-block run; this makes the recipe "
+                    "supervisable)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -69,11 +75,26 @@ def main():
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
     from alphazero_risk_tpu.training import actor as A  # noqa: E402
 
-    t = Trainer(cfg, seed=args.seed)
+    start_loop = 0
+    if args.resume and os.path.exists("progress.jsonl"):
+        with open("progress.jsonl") as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        if lines:
+            start_loop = lines[-1]["loop"] + 1
+
+    t = Trainer(cfg, seed=args.seed + start_loop)
+    if args.resume and start_loop > 0:
+        assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
+        t.train_state = t.ckpt.restore("latest", t.train_state)
+        if t.ckpt.exists("best"):
+            best = t.ckpt.restore("best", t.train_state)
+            t.gen_params = best.params
+            t.gen_batch_stats = best.batch_stats
+        print(f"resume: starting at loop {start_loop}", flush=True)
     print(f"bootstrap run: {args.loops} loops, cfg blocks={cfg.blocks} "
           f"mcts={cfg.mcts_simulations}", flush=True)
 
-    for loop in range(args.loops):
+    for loop in range(start_loop, args.loops):
         t0 = time.time()
         t.iteration = loop
         # one train-data loop, inlined so we can log timings
@@ -107,6 +128,7 @@ def main():
         t3 = time.time()
         bench = t.benchmark()
         t_bench = time.time() - t3
+        t.ckpt.save("latest", t.train_state)  # resume point
 
         rec = {
             "loop": loop, "samples": len(t.replay),
