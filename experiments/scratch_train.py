@@ -50,6 +50,11 @@ def main():
                     default=True,
                     help="reference train mode reverts to the best "
                     "checkpoint on a failed gate")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a previous run in --out: restore "
+                    "latest->train weights, best->generation weights, "
+                    "reload the replay, continue after the last iteration "
+                    "in progress.jsonl")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -79,15 +84,33 @@ def main():
 
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
 
-    t = Trainer(cfg, seed=args.seed)
-    t.ckpt.save("best", t.train_state)  # random init is the first "best"
+    start_iter = 0
+    accepted = 0
+    if args.resume and os.path.exists("progress.jsonl"):
+        with open("progress.jsonl") as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        if lines:
+            start_iter = lines[-1]["iter"] + 1
+            accepted = lines[-1]["accepted_total"]
+
+    t = Trainer(cfg, seed=args.seed + start_iter)
+    if args.resume and start_iter > 0:
+        assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
+        t.train_state = t.ckpt.restore("latest", t.train_state)
+        best = t.ckpt.restore("best", t.train_state)
+        t.gen_params = best.params
+        t.gen_batch_stats = best.batch_stats
+        t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        print(f"resume: iter {start_iter}, accepted {accepted}, "
+              f"replay {len(t.replay)}", flush=True)
+    else:
+        t.ckpt.save("best", t.train_state)  # random init = first "best"
     t._install_sigint_flush()
     print(f"scratch train: {args.iters} iters, blocks={cfg.blocks} "
           f"mcts={cfg.mcts_simulations} games/iter={args.games}",
           flush=True)
 
-    accepted = 0
-    for it in range(args.iters):
+    for it in range(start_iter, args.iters):
         t.iteration = it
         t0 = time.time()
         added = t.generate_selfplay()
@@ -105,6 +128,8 @@ def main():
             accepted += 1
             t.replay.mark_old_games()
         t.ckpt.save("latest", t.train_state)
+        if not args.device_replay:
+            t.replay.save(f"{cfg.data_dir}/training_samples.npz")
 
         t3 = time.time()
         bench = t.benchmark()

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Supervise experiments/scratch_train.py against tunnel wedges
+# (same pattern as supervise_finetune.sh / supervise_bootstrap.sh).
+#
+# Usage: tools/supervise_scratch.sh <out_dir> <total_iters> [extra args...]
+set -u
+OUT=$1; TOTAL=$2; shift 2
+EXTRA=("$@")
+LIVE_WINDOW=2400
+PROGRESS="$OUT/progress.jsonl"
+EVENTS="$OUT/log/events.jsonl"
+
+iters_done() { [ -f "$PROGRESS" ] && wc -l < "$PROGRESS" || echo 0; }
+last_write() {
+  local t=0 f
+  for f in "$PROGRESS" "$EVENTS"; do
+    [ -f "$f" ] && { local m; m=$(stat -c %Y "$f"); [ "$m" -gt "$t" ] && t=$m; }
+  done
+  echo "$t"
+}
+
+attempt=0
+while :; do
+  done_n=$(iters_done)
+  [ "$done_n" -ge "$TOTAL" ] && { echo "[supervise] all $TOTAL iters done"; exit 0; }
+  attempt=$((attempt + 1))
+  RESUME=()
+  [ "$done_n" -gt 0 ] && RESUME=(--resume)
+  echo "[supervise] attempt $attempt: iters $done_n/$TOTAL," \
+       "launching ${RESUME[*]:-fresh}" >&2
+  python experiments/scratch_train.py --out "$OUT" --iters "$TOTAL" \
+      "${RESUME[@]}" "${EXTRA[@]}" &
+  PID=$!
+  t0=$(date +%s)
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    now=$(date +%s); lw=$(last_write)
+    ref=$t0; [ "$lw" -gt "$ref" ] && ref=$lw
+    if [ $((now - ref)) -gt "$LIVE_WINDOW" ]; then
+      echo "[supervise] stalled $((now - ref))s — restarting" >&2
+      kill -9 "$PID" 2>/dev/null; sleep 3; break
+    fi
+  done
+  wait "$PID" 2>/dev/null
+done
