@@ -6,20 +6,11 @@ chance nodes, a Flax ResNet learner, and data-parallel scale-out over a
 ``jax.sharding.Mesh``.
 """
 
-import os as _os
-
-import jax as _jax
-
-# Persistent XLA compilation cache: supervisor restarts and repeated
-# experiment launches otherwise pay the full multi-minute first-compile of
-# the actor/arena graphs on every fresh process.  Opt out with
-# AZR_COMPILE_CACHE="".
-_cache = _os.environ.get("AZR_COMPILE_CACHE",
-                         _os.path.expanduser("~/.cache/azr-jax"))
-if _cache:
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from .config import Config, DEFAULT_CONFIG  # noqa: E402
+# NOTE: importing this package must stay side-effect free (no jax import,
+# no global jax config mutation) — consumers importing it just for Config
+# must not pay for or perturb a jax runtime.  The persistent XLA compile
+# cache lives in utils/compile_cache.py and is enabled explicitly by the
+# CLI and experiment drivers.
+from .config import Config, DEFAULT_CONFIG
 
 __version__ = "0.1.0"

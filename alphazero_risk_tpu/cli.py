@@ -129,6 +129,8 @@ def main(argv=None):
         from .parallel.distributed import initialize
         initialize(args.coordinator, args.nprocs, args.procid,
                    cpu_collectives=args.cpu_collectives)
+    from .utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     if args.mode == "bench":
         import bench

@@ -5,6 +5,18 @@ Extras: batched MCTS simulations/s/chip (target >= 100K) and 20-block
 network inference samples/s (reference best: ~2,720 samples/s/GPU at batch
 512, python/log/batch-size-perf.txt).
 
+Wedge-proof (round-3 post-mortem: one wedged tunnel stage nulled the whole
+round's perf record, BENCH_r03.json rc=124):
+
+- every stage runs in its OWN subprocess under a per-stage timeout, so a
+  hung PJRT call costs one stage and one timeout, not the round;
+- each stage result is flushed to ``bench_partial.json`` the moment it
+  lands, so even a killed orchestrator leaves numbers on disk;
+- ``--stages a,b,c`` re-runs only the named stages and MERGES with the
+  partial file, so a follow-up run can fill gaps without redoing the rest;
+- the final line is always printed, with nulls for stages that never
+  finished.
+
 Run on the real chip (default env) or `--quick` on CPU for smoke tests.
 """
 
@@ -12,12 +24,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_PARTIAL = os.path.join(_HERE, "bench_partial.json")
 
+STAGES = ("env", "nn", "nn_fast", "nn_int8",
+          "mcts", "mcts_fast", "mcts_int8", "mcts5")
+
+
+# ---------------------------------------------------------------- stages
 
 def _sync(out):
     """Force completion by fetching one element of EVERY leaf to the host.
@@ -27,6 +46,8 @@ def _sync(out):
     program); a host read of an output element is a reliable barrier.  Leaves
     may come from separate dispatches, so each one is read.
     """
+    import jax
+    import jax.numpy as jnp
     return sum(float(leaf.ravel()[0].astype(jnp.float32))
                for leaf in jax.tree.leaves(out))
 
@@ -42,6 +63,8 @@ def _timeit(fn, *args, reps=3):
 
 
 def bench_env_steps(cfg, batch, steps):
+    import jax
+    import jax.numpy as jnp
     from alphazero_risk_tpu.env import rules
     from alphazero_risk_tpu.env.state import new_game
 
@@ -66,6 +89,7 @@ def bench_env_steps(cfg, batch, steps):
 
 
 def bench_mcts(cfg, batch):
+    import jax
     import alphazero_risk_tpu.mcts.search as M
     from alphazero_risk_tpu.env.state import new_game
     from alphazero_risk_tpu.models.resnet import init_network
@@ -91,6 +115,7 @@ def bench_mcts(cfg, batch):
 def bench_mcts_fast(cfg, batch, int8=False):
     """MCTS with the production inference path: BN-folded weights, trunk in
     the BN-folded bf16/int8 XLA trunk (models/fast_infer.py)."""
+    import jax
     import alphazero_risk_tpu.mcts.search as M
     from alphazero_risk_tpu.env.state import new_game
     from alphazero_risk_tpu.models.fast_infer import (default_calib_feats,
@@ -118,6 +143,7 @@ def bench_mcts_fast(cfg, batch, int8=False):
 
 
 def bench_nn_fast(cfg, batch, inner=16, int8=False):
+    import jax
     from alphazero_risk_tpu.models.fast_infer import (apply_folded,
                                                       default_calib_feats,
                                                       fold_for_inference)
@@ -148,6 +174,7 @@ def bench_nn(cfg, batch, inner=16):
     one dispatch (self-play evaluates leaves in exactly this regime; a
     single dispatch carries ~30ms of host->device latency that would
     otherwise dominate)."""
+    import jax
     from alphazero_risk_tpu.models.resnet import init_network
 
     net, variables = init_network(cfg, jax.random.PRNGKey(0))
@@ -166,18 +193,10 @@ def bench_nn(cfg, batch, inner=16):
     return inner * batch / dt
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true",
-                    help="small sizes on CPU for smoke testing")
-    args = ap.parse_args()
-
-    if args.quick:
-        jax.config.update("jax_platforms", "cpu")
-
+def _configs(quick):
     from alphazero_risk_tpu.config import Config
 
-    if args.quick:
+    if quick:
         cfg = Config(blocks=2, filters=32, value_hidden=32,
                      mcts_simulations=8, max_depth=12)
         cfg5 = cfg
@@ -186,59 +205,150 @@ def main():
         cfg = Config(mcts_simulations=32, max_depth=48)
         cfg5 = cfg.replace(blocks=5)
         env_b, env_k, mcts_b, nn_b = 8192, 128, 2048, 1024
+    return cfg, cfg5, env_b, env_k, mcts_b, nn_b
 
-    t0 = time.time()
-    env_sps = bench_env_steps(cfg, env_b, env_k)
-    print(f"# env_steps/s = {env_sps:,.0f} ({time.time()-t0:.0f}s)",
-          file=sys.stderr)
-    t0 = time.time()
-    nn_sps = bench_nn(cfg, nn_b)
-    print(f"# nn_samples/s = {nn_sps:,.0f} ({time.time()-t0:.0f}s)",
-          file=sys.stderr)
-    t0 = time.time()
-    nn_fast_sps = bench_nn_fast(cfg, nn_b)
-    print(f"# nn_samples/s (folded bf16) = {nn_fast_sps:,.0f} "
-          f"({time.time()-t0:.0f}s)", file=sys.stderr)
-    t0 = time.time()
-    nn_int8_sps = bench_nn_fast(cfg, nn_b, int8=True)
-    print(f"# nn_samples/s (folded int8) = {nn_int8_sps:,.0f} "
-          f"({time.time()-t0:.0f}s)", file=sys.stderr)
-    t0 = time.time()
-    mcts_sps = bench_mcts(cfg, mcts_b)
-    print(f"# mcts_sims/s (20 blocks) = {mcts_sps:,.0f} "
-          f"({time.time()-t0:.0f}s)", file=sys.stderr)
-    t0 = time.time()
-    mcts_fast_sps = bench_mcts_fast(cfg, mcts_b)
-    print(f"# mcts_sims/s (20 blocks, folded bf16) = "
-          f"{mcts_fast_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
-    t0 = time.time()
-    mcts_int8_sps = bench_mcts_fast(cfg, mcts_b, int8=True)
-    print(f"# mcts_sims/s (20 blocks, folded int8) = "
-          f"{mcts_int8_sps:,.0f} ({time.time()-t0:.0f}s)", file=sys.stderr)
-    t0 = time.time()
-    mcts5_sps = bench_mcts(cfg5, mcts_b)
-    print(f"# mcts_sims/s (5 blocks) = {mcts5_sps:,.0f} "
-          f"({time.time()-t0:.0f}s)", file=sys.stderr)
 
+def run_stage(name, quick):
+    import jax
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+    cfg, cfg5, env_b, env_k, mcts_b, nn_b = _configs(quick)
+    if name == "env":
+        return bench_env_steps(cfg, env_b, env_k)
+    if name == "nn":
+        return bench_nn(cfg, nn_b)
+    if name == "nn_fast":
+        return bench_nn_fast(cfg, nn_b)
+    if name == "nn_int8":
+        return bench_nn_fast(cfg, nn_b, int8=True)
+    if name == "mcts":
+        return bench_mcts(cfg, mcts_b)
+    if name == "mcts_fast":
+        return bench_mcts_fast(cfg, mcts_b)
+    if name == "mcts_int8":
+        return bench_mcts_fast(cfg, mcts_b, int8=True)
+    if name == "mcts5":
+        return bench_mcts(cfg5, mcts_b)
+    raise ValueError(f"unknown stage {name!r}")
+
+
+# ---------------------------------------------------------- orchestrator
+
+def _run_stage_subprocess(name, quick, timeout):
+    """One stage in a child process; returns (value|None, note)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name]
+    if quick:
+        cmd.append("--quick")
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout>{timeout}s"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return None, f"rc={proc.returncode}: {' | '.join(tail)[:300]}"
+    for line in (proc.stdout or "").strip().splitlines()[::-1]:
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("stage") == name:
+            return rec["value"], "ok"
+    return None, "no stage JSON in child stdout"
+
+
+def _emit(results):
+    def g(name):
+        v = results.get(name)
+        return round(v) if isinstance(v, (int, float)) else None
+
+    env_sps = results.get("env")
+    mcts_best = max((results.get(k) or 0.0)
+                    for k in ("mcts_fast", "mcts_int8")) or None
+    nn_best = max((results.get(k) or 0.0)
+                  for k in ("nn_fast", "nn_int8")) or None
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
-        "value": round(env_sps),
+        "value": round(env_sps) if env_sps else None,
         "unit": "steps/s",
-        "vs_baseline": round(env_sps / 1_000_000, 3),
+        "vs_baseline": round(env_sps / 1_000_000, 3) if env_sps else None,
         "extras": {
-            "mcts_sims_per_s_20block": round(mcts_sps),
-            "mcts_sims_per_s_20block_fast": round(mcts_fast_sps),
-            "mcts_sims_per_s_20block_int8": round(mcts_int8_sps),
-            "mcts_sims_per_s_5block": round(mcts5_sps),
-            "mcts_sims_target_ratio": round(
-                max(mcts_fast_sps, mcts_int8_sps) / 100_000, 3),
-            "nn_infer_samples_per_s": round(nn_sps),
-            "nn_infer_samples_per_s_fast": round(nn_fast_sps),
-            "nn_infer_samples_per_s_int8": round(nn_int8_sps),
-            "nn_vs_reference_gpu": round(
-                max(nn_fast_sps, nn_int8_sps) / 2720, 2),
+            "mcts_sims_per_s_20block": g("mcts"),
+            "mcts_sims_per_s_20block_fast": g("mcts_fast"),
+            "mcts_sims_per_s_20block_int8": g("mcts_int8"),
+            "mcts_sims_per_s_5block": g("mcts5"),
+            "mcts_sims_target_ratio": (round(mcts_best / 100_000, 3)
+                                       if mcts_best else None),
+            "nn_infer_samples_per_s": g("nn"),
+            "nn_infer_samples_per_s_fast": g("nn_fast"),
+            "nn_infer_samples_per_s_int8": g("nn_int8"),
+            "nn_vs_reference_gpu": (round(nn_best / 2720, 2)
+                                    if nn_best else None),
+            "stage_notes": {k: v for k, v in
+                            results.get("_notes", {}).items()
+                            if v != "ok"},
         },
     }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small sizes on CPU for smoke testing")
+    ap.add_argument("--stage", choices=STAGES,
+                    help="(internal) run ONE stage in-process")
+    ap.add_argument("--stages",
+                    help="comma-separated subset to (re)run; merges with "
+                    "bench_partial.json so a follow-up run fills gaps")
+    ap.add_argument("--stage-timeout", type=float, default=420.0,
+                    help="seconds per stage subprocess (default 420)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="extra attempts per failed stage (default 1)")
+    args = ap.parse_args()
+
+    if args.stage:
+        # child mode: compute one number, print one JSON line
+        value = run_stage(args.stage, args.quick)
+        print(json.dumps({"stage": args.stage, "value": value}))
+        return
+
+    if args.stages:
+        wanted = [s.strip() for s in args.stages.split(",") if s.strip()]
+        bad = [s for s in wanted if s not in STAGES]
+        if bad:
+            ap.error(f"unknown stages {bad}; choose from {STAGES}")
+        results = {}
+        if os.path.exists(_PARTIAL):  # gap-fill: merge with prior partials
+            with open(_PARTIAL) as f:
+                results = json.load(f)
+    else:
+        wanted = list(STAGES)
+        results = {}  # full run: never leak a previous round's numbers
+
+    notes = results.setdefault("_notes", {})
+    for name in wanted:
+        t0 = time.time()
+        value, note = None, ""
+        for attempt in range(1 + max(0, args.retries)):
+            value, note = _run_stage_subprocess(
+                name, args.quick, args.stage_timeout)
+            if value is not None:
+                break
+            print(f"# stage {name} attempt {attempt + 1} failed: {note}",
+                  file=sys.stderr, flush=True)
+        results[name] = value
+        notes[name] = note
+        shown = f"{value:,.0f}" if value is not None else "FAILED"
+        print(f"# {name} = {shown} ({time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        tmp = _PARTIAL + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, _PARTIAL)
+
+    _emit(results)
 
 
 if __name__ == "__main__":

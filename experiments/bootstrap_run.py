@@ -50,6 +50,8 @@ def main():
                     "the round-3 20-block run; this makes the recipe "
                     "supervisable)")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     os.makedirs(args.out, exist_ok=True)
     os.chdir(args.out)

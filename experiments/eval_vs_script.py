@@ -31,6 +31,8 @@ def main():
                     help="with --fast: int8-quantized trunk")
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     from alphazero_risk_tpu.config import Config
     from alphazero_risk_tpu.training import actor as A

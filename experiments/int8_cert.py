@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--out", default="experiments/int8_cert.jsonl")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     import jax
     import jax.numpy as jnp

@@ -56,6 +56,8 @@ def main():
                     "reload the replay, continue after the last iteration "
                     "in progress.jsonl")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     os.makedirs(args.out, exist_ok=True)
     os.chdir(args.out)

@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--start-accepted", type=int, default=0,
                     help="with --resume: accepted-gate count so far")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     init_ckpt = os.path.abspath(args.init_ckpt)
     load_replay = (os.path.abspath(args.load_replay)

@@ -37,6 +37,8 @@ def main():
                     default=True)
     ap.add_argument("--out", default="experiments/tree_reuse_eval.jsonl")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     from alphazero_risk_tpu.config import Config
     from alphazero_risk_tpu.training import actor as A

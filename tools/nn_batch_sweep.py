@@ -33,6 +33,8 @@ def main():
                     help="chained forwards per dispatch")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
