@@ -64,6 +64,14 @@ class Config:
     compare_games: int = 1000
     compare_threshold: float = 0.55
     include_compare_games_train_samples: bool = True
+    # Sequential early stopping for the gating arena: cut the arena the
+    # moment the accept/reject verdict is statistically decided instead of
+    # always playing all compare_games (round-3 finding: t_gate dominated
+    # self-play wall-clock 12:1).  z=2.24 ~ one-sided 98.75% each way;
+    # set arena_early_stop=False for the reference's full-length behavior.
+    arena_early_stop: bool = True
+    arena_early_stop_z: float = 2.24
+    arena_early_stop_min_games: int = 96
     benchmark_games_random: int = 10
     benchmark_games_script: int = 100
     training_revert_model: bool = True

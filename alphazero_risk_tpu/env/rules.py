@@ -651,7 +651,9 @@ def component_labels(owned: jax.Array) -> jax.Array:
     return jnp.where(owned, lbl, idx)
 
 
-def dfs_preorder_rank(owned: jax.Array, root: jax.Array) -> jax.Array:
+def dfs_preorder_rank(owned: jax.Array, root: jax.Array,
+                      active: jax.Array | None = None,
+                      until: jax.Array | None = None) -> jax.Array:
     """[B,42] DFS pre-order rank within the flood-fill component of
     ``root`` (reference ``GameHelper::LandSetMovement::add``,
     game_helper.cpp:51-82: recursive visit, neighbours in declaration
@@ -662,16 +664,31 @@ def dfs_preorder_rank(owned: jax.Array, root: jax.Array) -> jax.Array:
     so exact trajectory parity needs the rank, not just membership.
     Stackless DFS: advance to the first unvisited owned neighbour (by
     NEIGHBOR_RANK), else backtrack via parent pointers — total iterations
-    bounded by 2x the largest component in the batch.
+    bounded by 2x the largest component among *running* games.
+
+    The while_loop is the most sequential thing in ``step``, so two masks
+    bound its trip count (round-4 fix: the unconditioned loop cost 4x of
+    the whole env step, 5.2M -> 1.24M steps/s/chip):
+
+    - ``active`` [B]: games whose ranks are needed at all; others never
+      enter the loop (their ranks stay NUM_LANDS).
+    - ``until`` [B,42]: per-game target set; a game stops as soon as every
+      target is visited — ranks are then exact for all targets (and for
+      everything visited before them), unspecified beyond.
     """
     b = owned.shape[0]
     rows = jnp.arange(b)
     idx = jnp.arange(NUM_LANDS, dtype=jnp.int32)[None, :]
     at_root = owned[rows, root]
+    if active is not None:
+        at_root &= active
     visited = (idx == root[:, None]) & owned
-    rank = jnp.where(visited, 0, NUM_LANDS).astype(jnp.int32)
+    rank = jnp.where(visited & at_root[:, None], 0,
+                     NUM_LANDS).astype(jnp.int32)
     parent = jnp.full((b, NUM_LANDS), -1, jnp.int32)
     cur = jnp.where(at_root, root, -1).astype(jnp.int32)
+    if until is not None:
+        cur = jnp.where((until & ~visited).any(-1), cur, -1)
     count = at_root.astype(jnp.int32)
 
     def cond(c):
@@ -680,17 +697,20 @@ def dfs_preorder_rank(owned: jax.Array, root: jax.Array) -> jax.Array:
 
     def body(c):
         cur, visited, rank, parent, count = c
-        active = cur >= 0
+        run = cur >= 0
         cs = jnp.maximum(cur, 0)
         nbr = ADJ[cs] & owned & ~visited
-        has = nbr.any(-1) & active
+        has = nbr.any(-1) & run
         r = jnp.where(nbr, NEIGHBOR_RANK[cs], topology.MAX_DEGREE)
         nxt = jnp.argmin(r, axis=-1).astype(jnp.int32)
         new_cur = jnp.where(has, nxt,
-                            jnp.where(active, parent[rows, cs], -1))
+                            jnp.where(run, parent[rows, cs], -1))
         hit = has[:, None] & (idx == nxt[:, None])
+        visited = visited | hit
+        if until is not None:
+            new_cur = jnp.where((until & ~visited).any(-1), new_cur, -1)
         return (new_cur.astype(jnp.int32),
-                visited | hit,
+                visited,
                 jnp.where(hit, count[:, None], rank),
                 jnp.where(hit, cs[:, None], parent),
                 count + has.astype(jnp.int32))
@@ -783,7 +803,17 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     # lsm.landSet and keeps the first strict max, alphazero_moves.cpp:
     # 188-221; pre-order per game_helper.cpp:51-82 rooted at the lowest-
     # index land of the component, game_helper.cpp:90-105).
-    pre_rank = dfs_preorder_rank(masks.owned, first_set_bit(comp))
+    # The DFS while_loop is sequential, so it only admits games that are
+    # really in this decision AND have an army tie among max candidates
+    # (argmax's lowest-index tie-break is already exact otherwise), and
+    # each game stops once its tied lands all have ranks.
+    running = game_status(state, cfg) == STATUS_NOT_ENDED
+    top = jnp.where(pick_from_mask, state.army, -1).max(-1)
+    tied = pick_from_mask & (state.army == top[:, None])
+    need_rank = ((state.phase == PH_FORTIFY) & running & ~is_skip
+                 & ~target_full & (tied.sum(-1) >= 2))
+    pre_rank = dfs_preorder_rank(masks.owned, first_set_bit(comp),
+                                 active=need_rank, until=tied)
     score = jnp.where(pick_from_mask,
                       state.army * 64 + (NUM_LANDS - pre_rank), -1)
     f_from = jnp.argmax(score, axis=-1)
@@ -804,9 +834,9 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     out = tree_select(ph == PH_ATTACK, s_attack, out)
     out = tree_select(ph == PH_ATTACK_MOBILIZATION, s_mob, out)
 
-    # Terminal games are frozen.
-    done = game_status(state, cfg) != STATUS_NOT_ENDED
-    return tree_select(done, state, out)
+    # Terminal games are frozen.  (``running`` computed in the FORTIFY
+    # section above.)
+    return tree_select(~running, state, out)
 
 
 def roll_dice(key: jax.Array, batch_size: int) -> jax.Array:

@@ -37,6 +37,31 @@ from .learner import create_train_state, make_epoch_fn
 from .replay import ReplayBuffer
 
 
+def sequential_verdict(wins: int, losses: int, threshold: float,
+                       z: float = 2.24, min_decided: int = 96):
+    """Early verdict for a win-share gate: ``True``/``False`` once the
+    accept/reject decision is statistically settled, else ``None``.
+
+    Normal approximation to the Beta(w+1, l+1) posterior over the win
+    share p, against H: p >= threshold.  Dependency-free (no scipy) and
+    conservative: a high one-sided z both ways plus a decided-games floor
+    guard against early noise and against the mild length-vs-outcome
+    correlation inherent in stopping a lockstep arena mid-flight (fast
+    winners are tallied before slow ones).
+    """
+    n = wins + losses
+    if n < min_decided:
+        return None
+    mean = (wins + 1) / (n + 2)
+    sd = math.sqrt(mean * (1.0 - mean) / (n + 3))
+    stat = (mean - threshold) / max(sd, 1e-9)
+    if stat > z:
+        return True
+    if stat < -z:
+        return False
+    return None
+
+
 class Trainer:
     def __init__(self, cfg: Config, seed: int = 0,
                  log_dir: Optional[str] = None, use_mesh: bool = False):
@@ -309,7 +334,8 @@ class Trainer:
 
         return local_shards(tree)
 
-    def _episode_loop(self, chunk_call, state0) -> A.ActorOutput:
+    def _episode_loop(self, chunk_call, state0,
+                      early_stop=None) -> A.ActorOutput:
         """Drive chunked episodes to completion (or the step cap).
 
         Multi-process: every chunk is one global SPMD dispatch; each host
@@ -317,6 +343,12 @@ class Trainer:
         the all-done check is agreed via allgather, so hosts stay in
         lockstep on the number of dispatches.  The returned ``samples`` and
         ``status`` are host-local; ``state`` stays global.
+
+        ``early_stop(status)``, when given, is called with the host-local
+        status rows after every chunk; returning True abandons the still-
+        running games (they stay STATUS_NOT_ENDED and are excluded from
+        tallies).  Any world agreement (e.g. a tally allgather) is the
+        callback's job — it must return the same answer on every host.
         """
         from ..agents.script_agent import init_carry
         from ..parallel.distributed import allgather_metrics
@@ -343,6 +375,8 @@ class Trainer:
             if self.world > 1:
                 live = int(allgather_metrics({"live": live})["live"])
             if live == 0:
+                break
+            if early_stop is not None and early_stop(status):
                 break
         concat = jnp.concatenate if on_device else np.concatenate
         samples = jax.tree.map(
@@ -487,28 +521,55 @@ class Trainer:
         arena = self._arena_call(
             self.train_state.params, self.train_state.batch_stats,
             self.gen_params, self.gen_batch_stats)
+
+        def _merge(base, part):
+            return part if base is None else {
+                k: base[k] + part[k] for k in part}
+
+        def _verdict(t):
+            return sequential_verdict(
+                t["p0_wins"], t["p1_wins"], cfg.compare_threshold,
+                z=cfg.arena_early_stop_z,
+                min_decided=cfg.arena_early_stop_min_games)
+
         tally = None
         done = 0
-        while done < games:
+        decided = None
+        while done < games and decided is None:
             b = self._wave_batch(games - done)
             state0 = self._initial_states(b)
-            out = self._episode_loop(arena, state0)
+            started = self._local(state0.cur_player)
+            check = None
+            if cfg.arena_early_stop:
+                # per-chunk sequential test on finished games; the tally
+                # allgather inside _global_tally keeps hosts agreed
+                def check(status, _started=started):
+                    t = _merge(tally,
+                               self._global_tally(status, _started))
+                    return _verdict(t) is not None
+            out = self._episode_loop(arena, state0, early_stop=check)
             if cfg.include_compare_games_train_samples:
                 self.replay.extend_from_actor(
                     out.samples, out.status,
                     final_round=self._local(out.state.round))
-            part = self._global_tally(np.asarray(out.status),
-                                      self._local(state0.cur_player))
-            tally = part if tally is None else {
-                k: tally[k] + part[k] for k in part}
+            tally = _merge(tally, self._global_tally(
+                np.asarray(out.status), started))
             done += b
+            if cfg.arena_early_stop:
+                decided = _verdict(tally)
         new_wins = tally["p0_wins"]
         old_wins = tally["p1_wins"]
         draws = tally["draws"]
         self.logs.log_improvement(
             self.iteration, draws, new_wins, tally["p0_win_started"],
             old_wins, tally["p1_win_started"])
-        improved = new_wins >= (new_wins + old_wins) * cfg.compare_threshold
+        improved = (decided if decided is not None else
+                    new_wins >= (new_wins + old_wins)
+                    * cfg.compare_threshold)
+        if cfg.arena_early_stop:
+            self.logs.event("gate_early_stop", decided=decided,
+                            new_wins=new_wins, old_wins=old_wins,
+                            scheduled=games)
         if improved:
             self._accept()
         elif revert_on_fail:

@@ -38,6 +38,14 @@ def setup_compile_cache() -> str | None:
     if not base:
         return None
     platform = jax.default_backend()  # resolved, post platform selection
+    if platform == "cpu" and not os.environ.get("AZR_COMPILE_CACHE_CPU"):
+        # XLA:CPU AOT reload prints machine-feature-mismatch errors even
+        # on the SAME machine (it bakes +prefer-no-scatter/gather pseudo-
+        # features into the compile feature list that never appear in the
+        # host list), and genuinely risks SIGILL across container resets
+        # that change the underlying CPU.  CPU compiles are cheap; only
+        # accelerator graphs are worth persisting.
+        return None
     host = os.uname().nodename
     cache = os.path.join(base, f"{platform}-{host}")
     jax.config.update("jax_compilation_cache_dir", cache)

@@ -154,3 +154,68 @@ def test_play_fast_path(tmp_path):
     assert res["games"] == 4
     assert res["unfinished"] == 0
     assert res["p0_wins"] + res["p1_wins"] + res["draws"] == 4
+
+
+def test_sequential_verdict_math():
+    from alphazero_risk_tpu.training.trainer import sequential_verdict
+
+    # insufficient evidence: below the decided-games floor
+    assert sequential_verdict(90, 0, 0.55) is None
+    # clear accept / clear reject once past the floor
+    assert sequential_verdict(90, 10, 0.55) is True
+    assert sequential_verdict(30, 70, 0.55) is False
+    # borderline stays undecided at moderate n
+    assert sequential_verdict(55, 45, 0.55) is None
+    # symmetric gate at 0.5
+    assert sequential_verdict(80, 20, 0.5) is True
+    assert sequential_verdict(20, 80, 0.5) is False
+
+
+def test_sequential_verdict_matches_full_length():
+    """Replay simulated arena streams: whenever the sequential test stops
+    early, its decision must equal the full-length threshold decision."""
+    from alphazero_risk_tpu.training.trainer import sequential_verdict
+
+    rng = np.random.default_rng(7)
+    total = 384
+    stops, agree = 0, 0
+    for p in (0.30, 0.40, 0.48, 0.62, 0.70):
+        for trial in range(20):
+            outcomes = rng.random(total) < p
+            full = outcomes.sum() >= total * 0.55
+            w = l = 0
+            early = None
+            n_at_stop = total
+            for i, won in enumerate(outcomes):
+                w, l = w + int(won), l + int(not won)
+                early = sequential_verdict(w, l, 0.55)
+                if early is not None:
+                    n_at_stop = i + 1
+                    break
+            if early is not None:
+                stops += 1
+                agree += int(early == full)
+                assert n_at_stop < total
+    # far-from-threshold streams must stop early, and essentially always
+    # agree with the full-length verdict
+    assert stops >= 60, stops
+    assert agree / stops >= 0.99, (agree, stops)
+
+
+def test_gate_early_stop_plumbing(tmp_path):
+    """Early-stop wiring end-to-end on a tiny arena: aggressive stopping
+    parameters, gate returns a bool and records the event."""
+    os.chdir(tmp_path)
+    cfg = TINY.replace(compare_games=8, arena_early_stop=True,
+                       arena_early_stop_z=0.1,
+                       arena_early_stop_min_games=2,
+                       max_game_steps=150, actor_chunk_steps=25)
+    t = Trainer(cfg, seed=5)
+    t.replay.extend(fake_samples(64, cfg))
+    t.train_epochs(epochs=1)
+    improved = t.gate(revert_on_fail=False)
+    assert isinstance(improved, bool)
+    import json
+    events = [json.loads(ln) for ln in
+              open(t.logs.dir + "/events.jsonl")]
+    assert any(e.get("kind") == "gate_early_stop" for e in events)

@@ -146,6 +146,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # CPU-only tool; must precede
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
 

@@ -33,10 +33,10 @@ def main():
                     help="chained forwards per dispatch")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
-    setup_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     from alphazero_risk_tpu.config import Config
     from alphazero_risk_tpu.models.resnet import init_network
