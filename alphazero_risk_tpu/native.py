@@ -67,6 +67,15 @@ def _c_config(cfg: Config) -> CRiskConfig:
 
 
 def load_library() -> Optional[ctypes.CDLL]:
+    """Load libriskcore.so, building it on demand (the binary is not
+    tracked in git; native/Makefile compiles it in ~2s)."""
+    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+        import subprocess
+        native_dir = os.path.join(os.path.dirname(__file__), "..",
+                                  "native")
+        if os.path.exists(os.path.join(native_dir, "Makefile")):
+            subprocess.run(["make", "-C", native_dir],
+                           capture_output=True)
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--loops", type=int, default=12)
     ap.add_argument("--out", default="experiments/bootstrap_out")
     ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--filters", type=int, default=None,
+                    help="conv filters (default: Config default; small "
+                    "values make CPU smoke tests compile fast)")
     ap.add_argument("--games", type=int, default=2000)
     ap.add_argument("--games-ss", type=int, default=None,
                     help="Script-vs-Script games per loop (default --games)")
@@ -49,7 +52,14 @@ def main():
                     "recorded in progress.jsonl (tunnel wedges truncated "
                     "the round-3 20-block run; this makes the recipe "
                     "supervisable)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the "
+                    "JAX_PLATFORMS env var alone is ignored when the "
+                    "axon PJRT plugin is installed)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
 
@@ -58,6 +68,8 @@ def main():
 
     cfg = Config(
         blocks=args.blocks,
+        **({"filters": args.filters, "value_hidden": args.filters}
+           if args.filters else {}),
         mcts_simulations=args.mcts,
         max_depth=48,
         batch_size=512,
@@ -77,14 +89,29 @@ def main():
     from alphazero_risk_tpu.training.trainer import Trainer  # noqa: E402
     from alphazero_risk_tpu.training import actor as A  # noqa: E402
 
-    start_loop = 0
-    if args.resume and os.path.exists("progress.jsonl"):
-        with open("progress.jsonl") as f:
-            lines = [json.loads(ln) for ln in f if ln.strip()]
-        if lines:
-            start_loop = lines[-1]["loop"] + 1
+    import numpy as np
+    import jax.numpy as jnp
 
-    t = Trainer(cfg, seed=args.seed + start_loop)
+    t = Trainer(cfg, seed=args.seed)
+    start_loop = 0
+    if args.resume:
+        # Loop counter + RNG key come from the checkpoint meta sidecar
+        # written at the SAME point as the loop-end checkpoint, so the
+        # restored weights and the restart loop can't disagree the way
+        # 'latest' (also saved mid-loop by _accept) and progress.jsonl
+        # could (advisor round 3: a kill between an accepted gate and the
+        # progress write double-trained a loop).
+        meta = t.ckpt.load_meta()
+        if meta:
+            start_loop = int(meta["iteration"])
+            t.key = jnp.asarray(meta["key"], jnp.uint32)
+        elif os.path.exists("progress.jsonl"):
+            # pre-meta runs: count completed loops; reseed so the resumed
+            # deals differ from the original run's
+            import jax
+            start_loop = sum(1 for ln in open("progress.jsonl")
+                             if ln.strip())
+            t.key = jax.random.PRNGKey(args.seed + start_loop)
     if args.resume and start_loop > 0:
         assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
         t.train_state = t.ckpt.restore("latest", t.train_state)
@@ -92,6 +119,11 @@ def main():
             best = t.ckpt.restore("best", t.train_state)
             t.gen_params = best.params
             t.gen_batch_stats = best.batch_stats
+        else:
+            # never-accepted run: the gate opponent is the restored
+            # training weights, NOT a fresh random init
+            t.gen_params = t.train_state.params
+            t.gen_batch_stats = t.train_state.batch_stats
         print(f"resume: starting at loop {start_loop}", flush=True)
     print(f"bootstrap run: {args.loops} loops, cfg blocks={cfg.blocks} "
           f"mcts={cfg.mcts_simulations}", flush=True)
@@ -130,7 +162,12 @@ def main():
         t3 = time.time()
         bench = t.benchmark()
         t_bench = time.time() - t3
-        t.ckpt.save("latest", t.train_state)  # resume point
+        # loop-end resume point: checkpoint + meta written back-to-back so
+        # the restored weights and the restart loop number agree (the
+        # mid-loop 'latest' saved by _accept is NOT the resume anchor)
+        t.ckpt.save("latest", t.train_state)
+        t.ckpt.save_meta({"iteration": loop + 1,
+                          "key": np.asarray(t.key).tolist()})
 
         rec = {
             "loop": loop, "samples": len(t.replay),

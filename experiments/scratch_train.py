@@ -54,8 +54,18 @@ def main():
                     help="continue a previous run in --out: restore "
                     "latest->train weights, best->generation weights, "
                     "reload the replay, continue after the last iteration "
-                    "in progress.jsonl")
+                    "in progress.jsonl (with --device-replay the buffer "
+                    "is NOT persisted: a resumed run refills it from "
+                    "fresh self-play, generate-only, before training "
+                    "restarts)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the "
+                    "JAX_PLATFORMS env var alone is ignored when the "
+                    "axon PJRT plugin is installed)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
 
@@ -89,20 +99,42 @@ def main():
     start_iter = 0
     accepted = 0
     if args.resume and os.path.exists("progress.jsonl"):
+        lines = []
         with open("progress.jsonl") as f:
-            lines = [json.loads(ln) for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:          # a kill mid-write can tear the final line
+                    lines.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    print(f"resume: skipping torn progress line {ln!r}",
+                          flush=True)
         if lines:
             start_iter = lines[-1]["iter"] + 1
             accepted = lines[-1]["accepted_total"]
 
     t = Trainer(cfg, seed=args.seed + start_iter)
+    refill_floor = 0
     if args.resume and start_iter > 0:
         assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
         t.train_state = t.ckpt.restore("latest", t.train_state)
         best = t.ckpt.restore("best", t.train_state)
         t.gen_params = best.params
         t.gen_batch_stats = best.batch_stats
-        t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        found = t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        if not found:
+            # With --device-replay no npz is ever saved per iteration, so
+            # a supervised restart resumes with an EMPTY buffer; training
+            # immediately would fit only fresh noisy self-play (the exact
+            # damage mode RESULTS.md documents).  Generate-only until the
+            # buffer refills past the storage floor.
+            refill_floor = min(cfg.samples_storage_min_batches,
+                               cfg.samples_storage_max_batches
+                               ) * cfg.batch_size
+            print("WARNING: resume found no saved replay buffer "
+                  f"({cfg.data_dir}/training_samples.npz); refilling to "
+                  f"{refill_floor} samples before training resumes",
+                  flush=True)
         print(f"resume: iter {start_iter}, accepted {accepted}, "
               f"replay {len(t.replay)}", flush=True)
     else:
@@ -118,6 +150,16 @@ def main():
         added = t.generate_selfplay()
         t.replay.trim()
         t_gen = time.time() - t0
+
+        if len(t.replay) < refill_floor:
+            rec = {"iter": it, "samples_added": added,
+                   "buffer": len(t.replay), "refill_only": True,
+                   "accepted_total": accepted, "t_gen": round(t_gen, 1)}
+            print(json.dumps(rec), flush=True)
+            with open("progress.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            continue
+        refill_floor = 0
 
         t1 = time.time()
         pi_l, v_l = t.train_epochs()

@@ -78,7 +78,14 @@ def main():
                     help="with --resume: first iteration number")
     ap.add_argument("--start-accepted", type=int, default=0,
                     help="with --resume: accepted-gate count so far")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the "
+                    "JAX_PLATFORMS env var alone is ignored when the "
+                    "axon PJRT plugin is installed)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
 
@@ -120,13 +127,25 @@ def main():
         CheckpointManager)
 
     t = Trainer(cfg, seed=args.seed + args.start_iter)
+    refill_floor = 0
     if args.resume:
         assert t.ckpt.exists("latest"), "--resume: no latest checkpoint"
         t.train_state = t.ckpt.restore("latest", t.train_state)
         best = t.ckpt.restore("best", t.train_state)
         t.gen_params = best.params
         t.gen_batch_stats = best.batch_stats
-        t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        found = t.replay.load(f"{cfg.data_dir}/training_samples.npz")
+        if not found:
+            # device-replay never persists an npz: a supervised restart
+            # resumes with an EMPTY buffer, and training on it would fit
+            # only fresh noisy self-play (the round-3 damage mode).
+            # Generate-only until the buffer passes the storage floor.
+            refill_floor = min(cfg.samples_storage_min_batches,
+                               cfg.samples_storage_max_batches
+                               ) * cfg.batch_size
+            print("WARNING: resume found no saved replay buffer; "
+                  f"refilling to {refill_floor} samples before training "
+                  "resumes", flush=True)
         print(f"resume: iter {args.start_iter}, "
               f"replay {len(t.replay)} samples", flush=True)
     else:
@@ -153,6 +172,16 @@ def main():
         added = t.generate_selfplay()
         t.replay.trim()
         t_gen = time.time() - t0
+
+        if len(t.replay) < refill_floor:
+            rec = {"iter": it, "samples_added": added,
+                   "buffer": len(t.replay), "refill_only": True,
+                   "accepted_total": accepted, "t_gen": round(t_gen, 1)}
+            print(json.dumps(rec), flush=True)
+            with open("progress.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            continue
+        refill_floor = 0
 
         t1 = time.time()
         pi_l, v_l = t.train_epochs()

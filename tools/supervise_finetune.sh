@@ -29,6 +29,7 @@ last_write() {  # newest mtime among progress/event logs, 0 if none
 }
 
 attempt=0
+fastfails=0
 while :; do
   done_n=$(iters_done)
   left=$((TOTAL - done_n))
@@ -55,4 +56,17 @@ while :; do
     fi
   done
   wait "$PID" 2>/dev/null
+  # Fast-exit detection: a deterministic startup failure (bad flag, torn
+  # state) would otherwise relaunch in a tight infinite loop.
+  runtime=$(( $(date +%s) - t0 ))
+  if [ "$runtime" -lt 120 ]; then
+    fastfails=$((fastfails + 1))
+    if [ "$fastfails" -ge 5 ]; then
+      echo "[supervise] child died <120s five times in a row — aborting" >&2
+      exit 1
+    fi
+  else
+    fastfails=0
+  fi
+  sleep 10
 done
