@@ -695,7 +695,7 @@ def dfs_preorder_rank(owned: jax.Array, root: jax.Array,
         cur = c[0]
         return (cur >= 0).any()
 
-    def body(c):
+    def advance(c):
         cur, visited, rank, parent, count = c
         run = cur >= 0
         cs = jnp.maximum(cur, 0)
@@ -714,6 +714,14 @@ def dfs_preorder_rank(owned: jax.Array, root: jax.Array,
                 jnp.where(hit, count[:, None], rank),
                 jnp.where(hit, cs[:, None], parent),
                 count + has.astype(jnp.int32))
+
+    def body(c):
+        # several DFS moves per while iteration: the per-move compute is a
+        # handful of fused [B,42] elementwise ops, so trip-count overhead
+        # dominates — unrolling cuts it 4x (finished games no-op safely)
+        for _ in range(4):
+            c = advance(c)
+        return c
 
     _, _, rank, _, _ = jax.lax.while_loop(
         cond, body, (cur, visited, rank, parent, count))

@@ -108,6 +108,8 @@ def main():
            "bf16_wins": tally["p1_wins"], "draws": tally["draws"],
            "unfinished": tally["unfinished"],
            "int8_win_share": round(p, 4), "z_vs_0.5": round(z, 2),
+           "ci95_half_width": round(
+               1.96 * math.sqrt(p * (1 - p) / max(n, 1)), 4),
            "seconds": round(time.time() - t0, 1)}
     print(json.dumps(rec), flush=True)
     with open(args.out, "a") as f:
@@ -123,11 +125,14 @@ def main():
         tv.gen_batch_stats = tv.train_state.batch_stats
         t0 = time.time()
         res = tv.play(A.OPP_SCRIPT, args.script_games)
+        nw = res["p0_wins"] + res["p1_wins"]
+        wr = res["p0_wins"] / max(nw, 1)
         rec = {"kind": f"vs_script_{name}", "sims": args.sims,
                "games": res["games"], "az_wins": res["p0_wins"],
                "script_wins": res["p1_wins"], "draws": res["draws"],
-               "win_rate": round(res["p0_wins"] / max(
-                   res["p0_wins"] + res["p1_wins"], 1), 4),
+               "win_rate": round(wr, 4),
+               "ci95_half_width": round(
+                   1.96 * math.sqrt(wr * (1 - wr) / max(nw, 1)), 4),
                "seconds": round(time.time() - t0, 1)}
         print(json.dumps(rec), flush=True)
         with open(args.out, "a") as f:

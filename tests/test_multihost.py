@@ -44,3 +44,23 @@ def test_multihost_world(nprocs, local):
     assert summary["ok"]
     assert summary["devices"] == nprocs * local
     assert summary["scripted_samples"] > 0
+
+
+def test_multihost_world_4proc_trimmed():
+    """A 4-process x 2-device world (trimmed phases: DP updates, sharded
+    env, collectives) with the weak-scaling measurement — un-slow-marked
+    so every suite run proves the 4-host path."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, TOOL, "--nprocs", "4", "--local-devices", "2",
+         "--port", str(_free_port()), "--timeout", "560",
+         "--trim", "--scaling"],
+        capture_output=True, text=True, timeout=580, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["ok"]
+    assert summary["devices"] == 8
+    sc = summary["scaling"]
+    assert sc["per_host_env_steps_per_s_1proc"] > 0
+    assert 0 < sc["efficiency"]  # raw CPU-proxy number; see its note

@@ -125,20 +125,35 @@ def worker(args) -> None:
         out_shardings=NamedSharding(mesh, P()))(games))
 
     # ---- scripted data generation on the sharded batch ----
-    from alphazero_risk_tpu.agents.script_agent import init_carry
-
-    sp0 = D.host_local_batch(
-        mesh, lambda lb: jax.tree.map(
-            np.asarray, new_game(jax.random.PRNGKey(7), lb)), gb)
-    out = jax.jit(lambda s, k: A.run_scripted_episodes(
-        s, k, cfg, 16, (A.OPP_SCRIPT, A.OPP_SCRIPT)))(
-        sp0, jax.random.PRNGKey(3))
-    n_valid = int(jax.jit(
-        lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(
-        out.samples.valid))
+    n_valid = -1
+    if not args.trim:
+        sp0 = D.host_local_batch(
+            mesh, lambda lb: jax.tree.map(
+                np.asarray, new_game(jax.random.PRNGKey(7), lb)), gb)
+        out = jax.jit(lambda s, k: A.run_scripted_episodes(
+            s, k, cfg, 16, (A.OPP_SCRIPT, A.OPP_SCRIPT)))(
+            sp0, jax.random.PRNGKey(3))
+        n_valid = int(jax.jit(
+            lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(
+            out.samples.valid))
 
     # ---- cross-process metric aggregation ----
     agg = D.allgather_metrics({"contrib": pid + 1, "one": 1})
+
+    if args.trim:
+        # env + DP update + collectives only: bounded wall-clock for the
+        # default (un-slow-marked) test and the scaling measurement
+        print("MHJSON " + json.dumps({
+            "pid": pid,
+            "world": jax.process_count(),
+            "devices": len(jax.devices()),
+            "losses": [round(x, 6) for x in losses],
+            "army_sum": army_sum,
+            "env_steps_per_s": round(gb * n_env_steps / env_dt),
+            "scripted_samples": n_valid,
+            "metrics": agg,
+        }), flush=True)
+        return
 
     # ---- mini end-to-end Trainer loop across processes ----
     # One train-data loop (scripted generation -> epochs -> gating arena
@@ -199,6 +214,13 @@ def main():
     ap.add_argument("--port", type=int, default=12731)
     ap.add_argument("--worker", type=int, default=-1)
     ap.add_argument("--timeout", type=int, default=600)
+    ap.add_argument("--trim", action="store_true",
+                    help="env + DP update + collectives only (skip the "
+                    "scripted-gen and Trainer phases): bounded wall-clock")
+    ap.add_argument("--scaling", action="store_true",
+                    help="after the N-process run, measure a 1-process "
+                    "baseline and report weak-scaling efficiency of "
+                    "per-host env throughput (constant per-host batch)")
     args = ap.parse_args()
 
     if args.worker >= 0:
@@ -213,12 +235,13 @@ def main():
     outdir = tempfile.mkdtemp(prefix="mh_logs_")
     outfiles = [os.path.join(outdir, f"w{i}.log")
                 for i in range(args.nprocs)]
+    trim_args = ["--trim"] if args.trim else []
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(i), "--nprocs", str(args.nprocs),
              "--local-devices", str(args.local_devices),
-             "--port", str(args.port)],
+             "--port", str(args.port)] + trim_args,
             stdout=open(outfiles[i], "w"), stderr=subprocess.STDOUT,
             env=env, text=True)
         for i in range(args.nprocs)
@@ -258,23 +281,63 @@ def main():
         assert r["army_sum"] == r0["army_sum"], results
         assert r["metrics"]["contrib"] == expect_sum, results
         assert r["metrics"]["one"] == args.nprocs, results
-        assert r["trainer"]["pi_loss"] == r0["trainer"]["pi_loss"], (
-            "learner losses diverged across processes", results)
-        assert r["trainer"]["v_loss"] == r0["trainer"]["v_loss"], results
-        assert (r["trainer"]["gate_improved"]
-                == r0["trainer"]["gate_improved"]), results
-        assert r["trainer"]["buffer_local"] > 0, results
-        assert r["trainer"]["ckpt_best"], results
+        if not args.trim:
+            assert r["trainer"]["pi_loss"] == r0["trainer"]["pi_loss"], (
+                "learner losses diverged across processes", results)
+            assert r["trainer"]["v_loss"] == r0["trainer"]["v_loss"], \
+                results
+            assert (r["trainer"]["gate_improved"]
+                    == r0["trainer"]["gate_improved"]), results
+            assert r["trainer"]["buffer_local"] > 0, results
+            assert r["trainer"]["ckpt_best"], results
 
-    print(json.dumps({
+    summary = {
         "ok": True,
         "nprocs": args.nprocs,
         "devices": r0["devices"],
         "losses": r0["losses"],
         "env_steps_per_s": r0["env_steps_per_s"],
         "scripted_samples": r0["scripted_samples"],
-        "trainer": r0["trainer"],
-    }))
+    }
+    if not args.trim:
+        summary["trainer"] = r0["trainer"]
+
+    if args.scaling and args.nprocs > 1:
+        # Weak-scaling baseline: one process, same per-host batch
+        # (gb scales with nprocs in the worker).  CPU-proxy methodology:
+        # all worker processes share this host's physical cores, so the
+        # raw efficiency is dominated by core oversubscription, NOT by
+        # collective cost — on real TPU hosts each process owns its
+        # chips and the gradient all-reduce is the only cross-host step.
+        # The >=80% north star (BASELINE.md) therefore needs real
+        # multi-host hardware; this field proves the measurement path
+        # and records the proxy number honestly.
+        base = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--nprocs", "1", "--local-devices",
+             str(args.local_devices), "--port", str(args.port + 1),
+             "--trim", "--timeout", str(args.timeout)],
+            capture_output=True, text=True, env=dict(os.environ),
+            timeout=args.timeout)
+        assert base.returncode == 0, base.stdout + base.stderr
+        base_sum = json.loads(base.stdout.strip().splitlines()[-1])
+        per_host_1 = base_sum["env_steps_per_s"]
+        per_host_n = r0["env_steps_per_s"] / args.nprocs
+        import os as _os
+        cores = len(_os.sched_getaffinity(0))
+        summary["scaling"] = {
+            "mode": "weak (constant per-host batch)",
+            "per_host_env_steps_per_s_1proc": per_host_1,
+            "per_host_env_steps_per_s_nproc": round(per_host_n),
+            "efficiency": round(per_host_n / per_host_1, 3),
+            "cpu_proxy_note": (
+                f"{args.nprocs} procs x {args.local_devices} virtual "
+                f"devices share {cores} physical cores; raw efficiency "
+                "reflects core oversubscription, not collective cost — "
+                "the >=80% ICI north star requires real per-host chips"),
+        }
+
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
