@@ -95,6 +95,12 @@ class Config:
     actor_chunk_steps: int = 128      # micro-steps per device dispatch
     #   (bounds single-execution time and allows early stop on all-done)
     dp_axis: str = "dp"               # data-parallel mesh axis name
+    # Fortify-source tie-break: True = the reference's exact DFS pre-order
+    # first-strict-max (trajectory parity; costs a bounded sequential
+    # while_loop in step, ~2x env-step throughput), False = lowest-index
+    # tie-break (identical play except when two candidate sources tie on
+    # max armies; ~5M steps/s/chip)
+    exact_fortify_tiebreak: bool = True
 
     # ---- Paths / IO ----
     checkpoint_dir: str = "checkpoints"

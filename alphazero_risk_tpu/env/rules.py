@@ -816,14 +816,19 @@ def step(state: GameState, action: jax.Array, dice: jax.Array,
     # (argmax's lowest-index tie-break is already exact otherwise), and
     # each game stops once its tied lands all have ranks.
     running = game_status(state, cfg) == STATUS_NOT_ENDED
-    top = jnp.where(pick_from_mask, state.army, -1).max(-1)
-    tied = pick_from_mask & (state.army == top[:, None])
-    need_rank = ((state.phase == PH_FORTIFY) & running & ~is_skip
-                 & ~target_full & (tied.sum(-1) >= 2))
-    pre_rank = dfs_preorder_rank(masks.owned, first_set_bit(comp),
-                                 active=need_rank, until=tied)
-    score = jnp.where(pick_from_mask,
-                      state.army * 64 + (NUM_LANDS - pre_rank), -1)
+    if cfg.exact_fortify_tiebreak:
+        top = jnp.where(pick_from_mask, state.army, -1).max(-1)
+        tied = pick_from_mask & (state.army == top[:, None])
+        need_rank = ((state.phase == PH_FORTIFY) & running & ~is_skip
+                     & ~target_full & (tied.sum(-1) >= 2))
+        pre_rank = dfs_preorder_rank(masks.owned, first_set_bit(comp),
+                                     active=need_rank, until=tied)
+        score = jnp.where(pick_from_mask,
+                          state.army * 64 + (NUM_LANDS - pre_rank), -1)
+    else:
+        # lowest-index tie-break (argmax keeps the first max): identical
+        # play unless two candidate sources tie on max armies
+        score = jnp.where(pick_from_mask, state.army, -1)
     f_from = jnp.argmax(score, axis=-1)
     can_move = pick_from_mask.any(-1) & ~target_full & ~is_skip
     famount = jnp.minimum(state.army[rows, f_from] - 1,

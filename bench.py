@@ -32,7 +32,7 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _PARTIAL = os.path.join(_HERE, "bench_partial.json")
 
-STAGES = ("env", "nn", "nn_fast", "nn_int8",
+STAGES = ("env", "env_fast", "nn", "nn_fast", "nn_int8",
           "mcts", "mcts_fast", "mcts_int8", "mcts5")
 
 
@@ -217,6 +217,11 @@ def run_stage(name, quick):
     cfg, cfg5, env_b, env_k, mcts_b, nn_b = _configs(quick)
     if name == "env":
         return bench_env_steps(cfg, env_b, env_k)
+    if name == "env_fast":
+        # lowest-index fortify tie-break (identical play except on exact
+        # army ties; see Config.exact_fortify_tiebreak)
+        return bench_env_steps(cfg.replace(exact_fortify_tiebreak=False),
+                               env_b, env_k)
     if name == "nn":
         return bench_nn(cfg, nn_b)
     if name == "nn_fast":
@@ -275,6 +280,7 @@ def _emit(results):
         "unit": "steps/s",
         "vs_baseline": round(env_sps / 1_000_000, 3) if env_sps else None,
         "extras": {
+            "env_steps_per_s_fast_tiebreak": g("env_fast"),
             "mcts_sims_per_s_20block": g("mcts"),
             "mcts_sims_per_s_20block_fast": g("mcts_fast"),
             "mcts_sims_per_s_20block_int8": g("mcts_int8"),

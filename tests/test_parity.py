@@ -132,3 +132,33 @@ def test_games_terminate_and_army_bounds():
         if done:
             break
     assert done, "oracle games did not terminate"
+
+
+def test_fast_tiebreak_mode_plays_full_games():
+    """exact_fortify_tiebreak=False (the ~2x-faster env mode) must still
+    play complete legal games; it may differ from the exact mode only at
+    fortify-source army ties."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alphazero_risk_tpu.config import Config
+    from alphazero_risk_tpu.env import rules
+    from alphazero_risk_tpu.env.state import new_game
+
+    cfg = Config(exact_fortify_tiebreak=False)
+    state = new_game(jax.random.PRNGKey(11), 8)
+
+    @jax.jit
+    def play(s, k):
+        ka, kd = jax.random.split(k)
+        a = jax.random.categorical(
+            ka, jnp.where(rules.legal_actions(s, cfg), 0.0, -1e9))
+        return rules.step_key(s, a.astype(jnp.int32), kd, cfg)
+
+    key = jax.random.PRNGKey(12)
+    for _ in range(1500):
+        key, sub = jax.random.split(key)
+        state = play(state, sub)
+    status = np.asarray(rules.game_status(state, cfg))
+    assert (status != -1).all(), status
