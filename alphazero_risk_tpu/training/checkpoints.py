@@ -61,6 +61,55 @@ class CheckpointManager:
             return bool(world_min)
         return local
 
+    # ---- lightweight weight snapshots: float16 params + batch_stats in
+    # one npz (~1/6 the orbax train_state: no Adam moments, half-precision
+    # storage).  Cheap enough to commit into git after EVERY bootstrap
+    # loop — the round-3 20-block checkpoint died with the container
+    # because nothing small enough to commit continuously existed. ----
+    def save_params_npz(self, path: str, train_state: Any) -> None:
+        import jax
+        import numpy as np
+
+        flat = {}
+        for kind, tree in (("p", train_state.params),
+                           ("b", train_state.batch_stats)):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for kp, leaf in leaves:
+                key = kind + "/" + "/".join(
+                    getattr(e, "key", str(e)) for e in kp)
+                arr = np.asarray(leaf)
+                if arr.dtype == np.float32:
+                    arr = arr.astype(np.float16)
+                flat[key] = arr
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, **flat)
+        os.replace(tmp, path)
+
+    def load_params_npz(self, path: str, train_state: Any) -> Any:
+        """Returns train_state with params/batch_stats replaced from the
+        npz (float16 storage upcast to the template leaf dtypes)."""
+        import jax
+        import numpy as np
+
+        with np.load(path) as z:
+            flat = dict(z)
+
+        def rebuild(kind, tree):
+            leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            out = []
+            for kp, leaf in leaves:
+                key = kind + "/" + "/".join(
+                    getattr(e, "key", str(e)) for e in kp)
+                arr = flat[key].astype(leaf.dtype)
+                assert arr.shape == leaf.shape, (key, arr.shape,
+                                                 leaf.shape)
+                out.append(arr)
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        return train_state.replace(
+            params=rebuild("p", train_state.params),
+            batch_stats=rebuild("b", train_state.batch_stats))
+
     # ---- sidecar metadata: {iteration, rng key, ...} so resume continues
     # numbering and does not replay identical game deals
     # (completes the reference's restart-the-binary resume,

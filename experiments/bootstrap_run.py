@@ -168,6 +168,9 @@ def main():
         t.ckpt.save("latest", t.train_state)
         t.ckpt.save_meta({"iteration": loop + 1,
                           "key": np.asarray(t.key).tolist()})
+        # committable weight snapshot (float16 params, ~25MB at 20
+        # blocks): survives container resets once copied into artifacts/
+        t.ckpt.save_params_npz(f"params_loop{loop}.npz", t.train_state)
 
         rec = {
             "loop": loop, "samples": len(t.replay),

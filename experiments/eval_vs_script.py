@@ -21,6 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="experiments/bootstrap_out/checkpoints")
     ap.add_argument("--role", default="best")
+    ap.add_argument("--npz", default=None,
+                    help="load weights from a float16 params npz "
+                    "(checkpoints.save_params_npz) instead of --ckpt/--role")
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--sims", type=int, nargs="+", default=[32, 128, 512])
@@ -47,12 +50,16 @@ def main():
                      actor_chunk_steps=max(16, 2048 // sims))
         t = Trainer(cfg, seed=123)
         t.ckpt = CheckpointManager(cfg, args.ckpt)
-        t.train_state = t.ckpt.restore(args.role, t.train_state)
+        if args.npz:
+            t.train_state = t.ckpt.load_params_npz(args.npz, t.train_state)
+        else:
+            t.train_state = t.ckpt.restore(args.role, t.train_state)
         t.gen_params = t.train_state.params
         t.gen_batch_stats = t.train_state.batch_stats
         t0 = time.time()
         res = t.play(A.OPP_SCRIPT, args.games)
-        rec = {"role": args.role, "sims": sims, "games": args.games,
+        rec = {"role": args.npz or args.role, "sims": sims,
+               "games": args.games,
                "az_wins": res["p0_wins"], "script_wins": res["p1_wins"],
                "draws": res["draws"], "unfinished": res["unfinished"],
                "win_rate": res["p0_wins"] / max(

@@ -219,3 +219,24 @@ def test_gate_early_stop_plumbing(tmp_path):
     events = [json.loads(ln) for ln in
               open(t.logs.dir + "/events.jsonl")]
     assert any(e.get("kind") == "gate_early_stop" for e in events)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """float16 params snapshot: save -> load restores shapes/dtypes with
+    half-precision-level weight agreement."""
+    os.chdir(tmp_path)
+    t = Trainer(TINY, seed=9)
+    path = str(tmp_path / "w.npz")
+    t.ckpt.save_params_npz(path, t.train_state)
+    t2 = Trainer(TINY, seed=10)   # different random init
+    restored = t2.ckpt.load_params_npz(path, t2.train_state)
+    a = jax.tree.leaves(t.train_state.params)
+    b = jax.tree.leaves(restored.params)
+    assert all(x.dtype == y.dtype and x.shape == y.shape
+               for x, y in zip(a, b))
+    err = max(float(abs(x - y).max()) for x, y in zip(a, b))
+    assert err < 2e-3, err
+    bs_a = jax.tree.leaves(t.train_state.batch_stats)
+    bs_b = jax.tree.leaves(restored.batch_stats)
+    assert all(float(abs(x - y).max()) < 2e-3
+               for x, y in zip(bs_a, bs_b))
