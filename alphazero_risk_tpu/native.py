@@ -74,8 +74,17 @@ def load_library() -> Optional[ctypes.CDLL]:
         native_dir = os.path.join(os.path.dirname(__file__), "..",
                                   "native")
         if os.path.exists(os.path.join(native_dir, "Makefile")):
-            subprocess.run(["make", "-C", native_dir],
-                           capture_output=True)
+            proc = subprocess.run(["make", "-C", native_dir],
+                                  capture_output=True, text=True)
+            if proc.returncode != 0:
+                # a broken toolchain must not SILENTLY degrade
+                # cross-validation to the slow Python oracle
+                import sys
+                tail = "\n".join(
+                    (proc.stderr or "").strip().splitlines()[-5:])
+                print("WARNING: libriskcore.so build failed "
+                      f"(rc={proc.returncode}); native engine "
+                      f"unavailable:\n{tail}", file=sys.stderr)
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

@@ -567,9 +567,14 @@ class Trainer:
                     new_wins >= (new_wins + old_wins)
                     * cfg.compare_threshold)
         if cfg.arena_early_stop:
+            # 'unfinished' = games abandoned mid-wave by the early stop;
+            # if win probability correlates with game length the verdict
+            # is biased toward fast winners — logged so the effect can be
+            # monitored (advisor round 4)
             self.logs.event("gate_early_stop", decided=decided,
                             new_wins=new_wins, old_wins=old_wins,
-                            scheduled=games)
+                            scheduled=games,
+                            unfinished=tally["unfinished"])
         if improved:
             self._accept()
         elif revert_on_fail:
@@ -599,7 +604,13 @@ class Trainer:
         self.gen_params = self.train_state.params
         self.gen_batch_stats = self.train_state.batch_stats
         self.ckpt.save("best", self.train_state)
-        self.ckpt.save("latest", self.train_state)
+        # NOT 'latest': every driver loop (train(), bootstrap_run,
+        # selfplay_finetune, scratch_train) writes latest + meta
+        # back-to-back at its loop END, and that pair is the resume
+        # anchor.  A mid-loop 'latest' here could be killed between this
+        # save and the loop-end meta write, resuming loop N with
+        # post-accept weights under the old meta key — the
+        # double-trained-loop hazard (advisor rounds 3-4).
         self.ckpt.save(f"iter-{self.iteration}", self.train_state)
 
     def _revert(self):
@@ -692,6 +703,10 @@ class Trainer:
             self.train_epochs()
             if self.gate():
                 self.replay.mark_old_games()
+            # loop-end resume anchor (latest + meta written together;
+            # _accept deliberately no longer saves 'latest' mid-loop)
+            self.ckpt.save("latest", self.train_state)
+            self._save_meta()
         self.replay.save(self._replay_path())
 
     def play(self, opponent: int, games: int, use_best: bool = False):
@@ -768,3 +783,6 @@ class Trainer:
             if self.gate(revert_on_fail=False) and do_benchmark:
                 self.benchmark()
             self.ckpt.save("temp", self.train_state)
+            # loop-end resume anchor (see train()/_accept)
+            self.ckpt.save("latest", self.train_state)
+            self._save_meta()

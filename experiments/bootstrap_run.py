@@ -38,6 +38,14 @@ def main():
                     help="Script-vs-Random games per loop (default --games)")
     ap.add_argument("--mcts", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="learning rate (default Config default = the "
+                    "reference's Adam 1e-3, build_graph.py:31)")
+    ap.add_argument("--init-npz", default=None,
+                    help="warm-start: load params/batch_stats from a "
+                    "float16 npz (e.g. the committed flagship) instead "
+                    "of random init; the gate opponent starts as these "
+                    "weights")
     ap.add_argument("--fast", action="store_true",
                     help="folded-pallas inference for arenas/benchmarks")
     ap.add_argument("--int8", action="store_true",
@@ -70,6 +78,7 @@ def main():
         blocks=args.blocks,
         **({"filters": args.filters, "value_hidden": args.filters}
            if args.filters else {}),
+        **({"learning_rate": args.lr} if args.lr is not None else {}),
         mcts_simulations=args.mcts,
         max_depth=48,
         batch_size=512,
@@ -94,6 +103,16 @@ def main():
 
     t = Trainer(cfg, seed=args.seed)
     start_loop = 0
+    if args.init_npz and not args.resume:
+        t.train_state = t.ckpt.load_params_npz(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), args.init_npz)
+            if not os.path.isabs(args.init_npz) else args.init_npz,
+            t.train_state)
+        t.gen_params = t.train_state.params
+        t.gen_batch_stats = t.train_state.batch_stats
+        t.ckpt.save("best", t.train_state)
+        print(f"warm start from {args.init_npz}", flush=True)
     if args.resume:
         # Loop counter + RNG key come from the checkpoint meta sidecar
         # written at the SAME point as the loop-end checkpoint, so the
@@ -171,6 +190,15 @@ def main():
         # committable weight snapshot (float16 params, ~25MB at 20
         # blocks): survives container resets once copied into artifacts/
         t.ckpt.save_params_npz(f"params_loop{loop}.npz", t.train_state)
+        if improved:
+            # rolling BEST snapshot — round 4's rolling snapshot tracked
+            # 'latest' and committed the overfit endpoint while the
+            # gate-accepted headline model sat gitignored (VERDICT r4);
+            # the artifacts/ sync must copy THIS file
+            t.ckpt.save_params_npz(
+                "params_best.npz",
+                t.train_state.replace(params=t.gen_params,
+                                      batch_stats=t.gen_batch_stats))
 
         rec = {
             "loop": loop, "samples": len(t.replay),

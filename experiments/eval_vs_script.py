@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="with --fast: int8-quantized trunk")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--noise-eps", type=float, default=None,
+                    help="override Config.noise_eps for the eval search "
+                    "(the reference blends 0.25*0.3 into EVERY node's "
+                    "prior, alphazero_mcts.cpp:78-86; 0.0 disables the "
+                    "blend — at 512 sims the constant floor forces "
+                    "~uniform exploration worth testing away)")
+    ap.add_argument("--seed", type=int, default=123)
     args = ap.parse_args()
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
@@ -47,8 +54,10 @@ def main():
                      max_depth=48, env_batch_per_device=args.batch,
                      max_game_steps=1000, fast_infer=args.fast,
                      fast_infer_int8=args.int8,
-                     actor_chunk_steps=max(16, 2048 // sims))
-        t = Trainer(cfg, seed=123)
+                     actor_chunk_steps=max(16, 2048 // sims),
+                     **({"noise_eps": args.noise_eps}
+                        if args.noise_eps is not None else {}))
+        t = Trainer(cfg, seed=args.seed)
         t.ckpt = CheckpointManager(cfg, args.ckpt)
         if args.npz:
             t.train_state = t.ckpt.load_params_npz(args.npz, t.train_state)
@@ -60,6 +69,9 @@ def main():
         res = t.play(A.OPP_SCRIPT, args.games)
         rec = {"role": args.npz or args.role, "sims": sims,
                "games": args.games,
+               "int8": args.int8, "fast": args.fast,
+               "noise_eps": (args.noise_eps if args.noise_eps is not None
+                             else cfg.noise_eps),
                "az_wins": res["p0_wins"], "script_wins": res["p1_wins"],
                "draws": res["draws"], "unfinished": res["unfinished"],
                "win_rate": res["p0_wins"] / max(

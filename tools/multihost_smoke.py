@@ -312,10 +312,17 @@ def main():
         # The >=80% north star (BASELINE.md) therefore needs real
         # multi-host hardware; this field proves the measurement path
         # and records the proxy number honestly.
+        # probe a genuinely free port for the baseline world: args.port+1
+        # was never reserved and can collide on a loaded CI host
+        # (advisor round 4)
+        import socket
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            base_port = s.getsockname()[1]
         base = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--nprocs", "1", "--local-devices",
-             str(args.local_devices), "--port", str(args.port + 1),
+             str(args.local_devices), "--port", str(base_port),
              "--trim", "--timeout", str(args.timeout)],
             capture_output=True, text=True, env=dict(os.environ),
             timeout=args.timeout)
