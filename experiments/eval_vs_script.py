@@ -66,7 +66,26 @@ def main():
         t.gen_params = t.train_state.params
         t.gen_batch_stats = t.train_state.batch_stats
         t0 = time.time()
-        res = t.play(A.OPP_SCRIPT, args.games)
+        # wave-at-a-time with partial lines: a wedged tunnel RPC then
+        # costs one wave, not the whole arm, and the stall-retry wrapper
+        # (tools/run_with_retry.sh) can see per-wave progress
+        wave = max(64, cfg.env_batch_per_device)
+        res = None
+        done = 0
+        while done < args.games:
+            g = min(wave, args.games - done)
+            part = t.play(A.OPP_SCRIPT, g)
+            res = part if res is None else {
+                k: res[k] + part[k] for k in part}
+            done += g
+            if done < args.games:
+                pl = {"partial": True, "sims": sims, "done": done,
+                      "az_wins": res["p0_wins"],
+                      "script_wins": res["p1_wins"],
+                      "seconds": round(time.time() - t0, 1)}
+                print(json.dumps(pl), flush=True)
+                with open(args.out + ".partial", "a") as f:
+                    f.write(json.dumps(pl) + "\n")
         rec = {"role": args.npz or args.role, "sims": sims,
                "games": args.games,
                "int8": args.int8, "fast": args.fast,
