@@ -51,6 +51,15 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="with --fast: int8-quantized trunk")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--revert", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="revert to the last gate-accepted weights on a "
+                    "failed gate.  Default False = the reference's "
+                    "train-data semantics (training drifts on regardless, "
+                    "alphazero_trainer.cpp:293-317); True turns each loop "
+                    "into an independent attempt from the accepted model — "
+                    "the round-4 run showed the faithful semantics drift "
+                    "away after the first accept and never recover")
     ap.add_argument("--compare-games", type=int, default=192)
     ap.add_argument("--bench-script", type=int, default=128)
     ap.add_argument("--bench-random", type=int, default=16)
@@ -175,7 +184,7 @@ def main():
         t_train = time.time() - t1
 
         t2 = time.time()
-        improved = t.gate(revert_on_fail=False)
+        improved = t.gate(revert_on_fail=args.revert)
         t_gate = time.time() - t2
 
         t3 = time.time()

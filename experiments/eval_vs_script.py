@@ -40,6 +40,11 @@ def main():
                     "blend — at 512 sims the constant floor forces "
                     "~uniform exploration worth testing away)")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--cpuct", type=float, default=None,
+                    help="override Config.cpuct (reference HP_EXPLORATION "
+                    "= 1.1) for sims-scaling sweeps")
+    ap.add_argument("--max-depth", type=int, default=48)
+    ap.add_argument("--tree-reuse", action="store_true")
     args = ap.parse_args()
     from alphazero_risk_tpu.utils.compile_cache import setup_compile_cache
     setup_compile_cache()
@@ -51,12 +56,16 @@ def main():
 
     for sims in args.sims:
         cfg = Config(blocks=args.blocks, mcts_simulations=sims,
-                     max_depth=48, env_batch_per_device=args.batch,
+                     max_depth=args.max_depth,
+                     env_batch_per_device=args.batch,
                      max_game_steps=1000, fast_infer=args.fast,
                      fast_infer_int8=args.int8,
+                     tree_reuse=args.tree_reuse,
                      actor_chunk_steps=max(16, 2048 // sims),
                      **({"noise_eps": args.noise_eps}
-                        if args.noise_eps is not None else {}))
+                        if args.noise_eps is not None else {}),
+                     **({"cpuct": args.cpuct}
+                        if args.cpuct is not None else {}))
         t = Trainer(cfg, seed=args.seed)
         t.ckpt = CheckpointManager(cfg, args.ckpt)
         if args.npz:
@@ -91,6 +100,7 @@ def main():
                "int8": args.int8, "fast": args.fast,
                "noise_eps": (args.noise_eps if args.noise_eps is not None
                              else cfg.noise_eps),
+               "cpuct": cfg.cpuct, "tree_reuse": cfg.tree_reuse,
                "az_wins": res["p0_wins"], "script_wins": res["p1_wins"],
                "draws": res["draws"], "unfinished": res["unfinished"],
                "win_rate": res["p0_wins"] / max(
