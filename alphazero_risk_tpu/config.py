@@ -61,6 +61,14 @@ class Config:
     batch_size: int = 512
     samples_storage_min_batches: int = 1024   # * batch_size samples
     samples_storage_max_batches: int = 16384  # * batch_size samples
+    # Largest replay slice uploaded to the device at once by the learner
+    # epoch.  The reference streams minibatches from host RAM
+    # (alphazero_nn.cpp:351-410); the TPU path uploads one resident slice
+    # and scans minibatches out of it, so a very large buffer (e.g. the
+    # reference's 5000+5000 train-data mix = ~2.9M samples) must train as
+    # consecutive fixed-size chunks or it OOMs device HBM (observed:
+    # TPU worker crash at 2.9M on v5e-lite).  0 = unlimited.
+    train_upload_max_samples: int = 1_500_000
     compare_games: int = 1000
     compare_threshold: float = 0.55
     include_compare_games_train_samples: bool = True

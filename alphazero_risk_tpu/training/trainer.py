@@ -417,6 +417,10 @@ class Trainer:
         if isinstance(self.replay, DeviceReplay):
             return self._train_epochs_ring(epochs)
         arrays = self.replay.sample_arrays()
+        n = next(iter(arrays.values())).shape[0]
+        cap = self.cfg.train_upload_max_samples
+        if cap and n > cap:
+            return self._train_epochs_chunked(arrays, n, cap, epochs)
         data = {k: jnp.asarray(v) for k, v in arrays.items()}
         pi_loss = v_loss = float("nan")
         for e in range(epochs):
@@ -424,6 +428,34 @@ class Trainer:
                 self.train_state, data, self._next_key())
             pi_loss = float(metrics["pi_loss"])
             v_loss = float(metrics["v_loss"])
+            self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
+        return pi_loss, v_loss
+
+    def _train_epochs_chunked(self, arrays, n: int, cap: int, epochs: int
+                              ) -> Tuple[float, float]:
+        """Epochs over a buffer too large for one device-resident slice:
+        fixed-size chunks (one compile), each shuffled and scanned by the
+        same jitted ``_epoch``; the tail chunk wraps around to keep the
+        static shape.  Block-shuffled SGD — within-chunk order is fully
+        random, chunk order is buffer order."""
+        import math
+
+        k = math.ceil(n / cap)
+        chunk = min(cap, n)
+        pi_loss = v_loss = float("nan")
+        for e in range(epochs):
+            pi_sum = v_sum = 0.0
+            for c in range(k):
+                lo = c * chunk
+                idx = np.arange(lo, lo + chunk) % n    # tail wraps
+                data = {key: jnp.asarray(v[idx])
+                        for key, v in arrays.items()}
+                self.train_state, metrics = self._epoch(
+                    self.train_state, data, self._next_key())
+                pi_sum += float(metrics["pi_loss"])
+                v_sum += float(metrics["v_loss"])
+                del data
+            pi_loss, v_loss = pi_sum / k, v_sum / k
             self.logs.log_nn_epoch(self.iteration, e, pi_loss, v_loss)
         return pi_loss, v_loss
 

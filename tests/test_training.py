@@ -240,3 +240,19 @@ def test_params_npz_roundtrip(tmp_path):
     bs_b = jax.tree.leaves(restored.batch_stats)
     assert all(float(abs(x - y).max()) < 2e-3
                for x, y in zip(bs_a, bs_b))
+
+
+def test_train_epochs_chunked_upload():
+    """Buffers above train_upload_max_samples train as fixed-size
+    device-resident chunks (one compile) instead of one giant upload
+    (which OOMed the real chip at the reference's 5000+5000 data mix)."""
+    cfg = TINY.replace(train_upload_max_samples=96)
+    t = Trainer(cfg, seed=0)
+    t.replay.extend(fake_samples(250, cfg))   # 3 chunks: 96/96/58+wrap
+    pi, v = t.train_epochs(epochs=2)
+    assert np.isfinite(pi) and np.isfinite(v)
+    # and the small-buffer path is untouched
+    t2 = Trainer(TINY, seed=0)
+    t2.replay.extend(fake_samples(64, TINY))
+    pi2, v2 = t2.train_epochs(epochs=1)
+    assert np.isfinite(pi2) and np.isfinite(v2)
